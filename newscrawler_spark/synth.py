@@ -1,0 +1,349 @@
+"""Deterministic synthetic web — frontier seeds, pages (URL -> HTML +
+out-links), budgets, robots.  Everything is a pure function of (seed, id)
+computed JVM-side with Column expressions over ``spark.range(n)`` — no
+driver-side materialization, so the same generator describes a 10^10-URL
+frontier on a cluster and a 10^3-URL one in tests.
+
+Shape choices mirror FIXTURES.md §2-§6:
+  * Zipf-ish domain skew — a few mega-hosts plus a long tail, so the
+    skew-salting path is actually exercised;
+  * ~10% exact-duplicate URLs and ~5% duplicates-after-canonicalization
+    (query-string noise, e.g. toutiao's ?log_from=… — toutaio_news.py:58);
+  * per-platform HTML matching each reference parser's selectors;
+  * out-links that include already-seen URLs (anti-join test) and
+    deeper article URLs (frontier-expansion test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schema
+from .canonical import PLATFORMS
+
+# Platform -> (domain, url template).  {id} is the numeric article id.
+URL_SHAPES: dict[str, tuple[str, str]] = {
+    "toutiao": ("www.toutiao.com", "https://www.toutiao.com/article/74{id}/"),
+    "wechat": ("mp.weixin.qq.com", "https://mp.weixin.qq.com/s/SSg{id}abc"),
+    "netease": ("www.163.com", "https://www.163.com/news/article/KC{id}FH.html"),
+    "sohu": ("www.sohu.com", "https://www.sohu.com/a/94{id}_160447"),
+    "tencent": ("news.qq.com", "https://news.qq.com/rain/a/2025{id}A07W"),
+    "detik": ("news.detik.com", "https://news.detik.com/internasional/d-{id}/synthetic-slug"),
+    "naver": ("blog.naver.com", "https://blog.naver.com/newsroom/22{id}"),
+    "lenny": ("www.lennysnewsletter.com", "https://www.lennysnewsletter.com/p/post-{id}"),
+    "quora": ("www.quora.com", "https://www.quora.com/What-is-X/answer/Someone-{id}"),
+    "bbc": ("www.bbc.com", "https://www.bbc.com/news/articles/c{id}o"),
+    "cnn": ("edition.cnn.com", "https://edition.cnn.com/2025/10/27/world/story-{id}"),
+}
+
+# Zipf-ish platform weights out of 100 (first few dominate → skew).
+PLATFORM_WEIGHTS = [30, 20, 13, 10, 8, 6, 4, 4, 2, 2, 1]
+assert sum(PLATFORM_WEIGHTS) == 100 and len(PLATFORM_WEIGHTS) == len(PLATFORMS)
+
+_CUM = [sum(PLATFORM_WEIGHTS[: i + 1]) for i in range(len(PLATFORM_WEIGHTS))]
+
+
+def _platform_expr(slot: F.Column) -> F.Column:
+    """slot in [0,100) -> platform name by cumulative weight."""
+    expr = None
+    for platform, hi in zip(PLATFORMS, _CUM):
+        cond = slot < hi
+        expr = F.when(cond, F.lit(platform)) if expr is None else expr.when(cond, F.lit(platform))
+    return expr.otherwise(F.lit(PLATFORMS[0]))
+
+
+def _mix(col: F.Column, salt: int, mod: int) -> F.Column:
+    """Cheap deterministic pseudo-random in [0, mod): xxhash64 of (id, salt)."""
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(mod))
+
+
+def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Seed frontier of n rows (round 0, depth 0).
+
+    ~10% exact duplicates (same article id re-emitted) and ~5% near
+    duplicates (same id + query-string noise) per FIXTURES.md §2.
+    """
+    df = spark.range(n).withColumnRenamed("id", "rid")
+    # duplicate groups: 10% of rows point at the previous row's article
+    art = F.when(_mix(F.col("rid"), seed + 1, 10) == 0, F.col("rid") - 1).otherwise(F.col("rid"))
+    art = F.greatest(art, F.lit(0))
+    slot = _mix(art, seed, 100)
+    platform = _platform_expr(slot)
+
+    url = None
+    for p, (_dom, tmpl) in URL_SHAPES.items():
+        pre, post = tmpl.split("{id}")
+        u = F.concat(F.lit(pre), F.format_string("%08d", art), F.lit(post))
+        url = F.when(platform == p, u) if url is None else url.when(platform == p, u)
+    # 5% get query-string noise that canonicalization must strip
+    noisy = _mix(F.col("rid"), seed + 2, 20) == 0
+    url = F.when(noisy, F.concat(url, F.lit("?log_from=abc123_"), F.col("rid"))).otherwise(url)
+
+    dom = None
+    for p, (d, _t) in URL_SHAPES.items():
+        dom = F.when(platform == p, F.lit(d)) if dom is None else dom.when(platform == p, F.lit(d))
+
+    return df.select(
+        url.alias("url"),
+        dom.alias("domain"),
+        _mix(F.col("rid"), seed + 3, 3).cast("int").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("rid").alias("seq"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+        F.concat(F.lit("seed-"), F.col("rid")).alias("source_seed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic pages: deterministic HTML per platform dialect
+# ---------------------------------------------------------------------------
+
+def _paras(art: F.Column, seed: int, fmt: str) -> F.Column:
+    """2-5 deterministic paragraphs; fmt has two %s-style slots (i, art)."""
+    n_paras = (_mix(art, seed + 10, 4) + 2).cast("int")
+    return F.aggregate(
+        F.sequence(F.lit(1), n_paras),
+        F.lit(""),
+        lambda acc, i: F.concat(acc, F.format_string(fmt, i, art)),
+    )
+
+
+_P = "<p>Paragraph %s of article %08d with deterministic body text.</p>"
+
+
+def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
+    """Minimal deterministic HTML per platform dialect, matching each
+    reference parser's selectors (citations in functions/platforms.py)."""
+    img = F.format_string('https://img.cc/i%08d.jpg', art)
+    img2 = F.format_string('https://img.cc/j%08d.jpg', art)
+    vid = F.format_string('https://v.cc/v%08d.mp4', art)
+    title = F.format_string("Title %08d", art)
+    day = (_mix(art, seed + 12, 28) + 1).cast("int")
+
+    toutiao = F.concat(
+        F.format_string("<html><body><h1>Title %08d</h1>", art),
+        F.format_string(
+            '<div class="article-meta"><span>2025-01-%02d</span>'
+            '<span class="name"><a href="/c/user/%08d/">Author %08d</a></span></div>',
+            day, art, art,
+        ),
+        F.lit("<article>"),
+        _paras(art, seed, _P),
+        F.format_string(_P, F.lit(1), art),  # duplicate para (dedup exercise)
+        F.format_string('<div><img src="%s"/></div>', img),
+        F.when(_mix(art, seed + 11, 5) == 0,
+               F.format_string('<video src="%s"></video>', vid)).otherwise(F.lit("")),
+        F.lit("</article></body></html>"),
+    )
+
+    wechat_dom = F.concat(
+        F.format_string('<html><body><h1 id="activity-name">Title %08d</h1>', art),
+        F.format_string('<span id="profileBt">Account %04d</span>', F.pmod(art, F.lit(977))),
+        F.format_string("<script>var createTime = '2025-01-%02d 09:30';</script>", day),
+        F.lit('<div id="js_content"><section>'),
+        _paras(art, seed, _P),
+        F.lit("<ol><li>alpha</li><li>beta</li></ol>"),
+        F.format_string('<p><img data-src="%s"/></p>', img),
+        F.lit("</section></div></body></html>"),
+    )
+    # every 3rd wechat page is SSR cgiDataNew (no js_content) — exercises
+    # the lenient-JS path in the pipeline
+    wechat_ssr = F.format_string(
+        "<html><body><script>try { window.cgiDataNew = { title: JsDecode('Title "
+        "%08d'), nick_name: 'Account %04d', create_time: '2025-01-%02d 10:00', "
+        "desc: JsDecode('line one of %08d\\x0aline two of %08d'), "
+        "picture_page_info_list: [ { cdn_url: 'https://img.cc/s%08d.jpg' } ] }; "
+        "} catch (e) {}</script></body></html>",
+        art, F.pmod(art, F.lit(977)), day, art, art, art,
+    )
+    wechat = F.when(_mix(art, seed + 13, 3) == 0, wechat_ssr).otherwise(wechat_dom)
+
+    netease = F.concat(
+        F.format_string('<html><body><h1 class="post_title">Title %08d</h1>', art),
+        F.format_string(
+            '<div class="post_info">2025-01-%02d 08:00:00 来源: Source%03d</div>',
+            day, F.pmod(art, F.lit(97)),
+        ),
+        F.lit('<div class="post_body">'),
+        _paras(art, seed, _P),
+        F.format_string('<p><img src="%s"/></p>', img),
+        F.lit("</div></body></html>"),
+    )
+
+    sohu = F.concat(
+        F.format_string('<html><body><h1>Title %08d</h1>', art),
+        F.format_string('<span class="time">2025-01-%02d 12:00</span>', day),
+        F.format_string(
+            '<script>var data = { imgsList: [ {"url": "//img.cc/i%08d.jpg"}, '
+            '{"url": "https://img.cc/j%08d.jpg"} ] ,};</script>',
+            art, art,
+        ),
+        F.lit('<article id="mp-editor">'),
+        _paras(art, seed, _P),
+        F.lit('<p><img src="enc0"/></p><p><img src="enc1"/></p>'),
+        F.lit("</article></body></html>"),
+    )
+
+    tencent = F.concat(
+        F.format_string(
+            '<html><body><script>window.DATA = {"title": "Title %08d", '
+            '"pubtime": "2025-01-%02d 14:00", "media": "Media%03d"} ;</script>',
+            art, day, F.pmod(art, F.lit(97)),
+        ),
+        F.lit('<div class="content-article">'),
+        _paras(art, seed, '<p class="one-p">Paragraph %s of article %08d with deterministic body text.</p>'),
+        F.format_string('<img src="%s"/>', img),
+        F.lit("</div></body></html>"),
+    )
+
+    bbc = F.concat(
+        F.format_string("<html><body><h1>Title %08d</h1>", art),
+        F.format_string('<time datetime="2025-01-%02dT10:00:00Z">x</time>', day),
+        F.lit("<article>"),
+        F.lit('<div data-component="text-block">'),
+        _paras(art, seed, _P),
+        F.lit("</div><figure>"),
+        F.lit('<img src="https://img.cc/grey-placeholder.png"/>'),
+        F.format_string('<img src="//img.cc/b%08d.jpg"/>', art),
+        F.lit("</figure></article></body></html>"),
+    )
+
+    cnn = F.concat(
+        F.format_string("<html><body><h1>Title %08d</h1>", art),
+        F.format_string('<div class="byline__names">By Author %04d</div>', F.pmod(art, F.lit(977))),
+        F.lit("<main>"),
+        _paras(art, seed, '<p class="paragraph">Paragraph %s of article %08d with deterministic body text.</p>'),
+        F.format_string('<picture><img src="%s"/></picture>', img),
+        F.lit("</main></body></html>"),
+    )
+
+    detik = F.concat(
+        F.format_string('<html><body><h1 class="detail__title">Title %08d</h1>', art),
+        F.format_string('<div class="detail__date">2025-01-%02d</div>', day),
+        F.format_string('<div class="detail__media"><img src="%s"/></div>', img2),
+        F.lit('<div class="detail__body-text">'),
+        _paras(art, seed, _P),
+        F.format_string('<img src="%s"/>', img),
+        F.lit("</div></body></html>"),
+    )
+
+    naver = F.concat(
+        F.format_string('<html><body><div class="se-title-text">Title %08d</div>', art),
+        F.format_string('<span class="nick">Blogger %04d</span>', F.pmod(art, F.lit(977))),
+        F.lit('<div class="se-main-container"><div class="se-component se-text">'),
+        _paras(art, seed, '<p class="se-text-paragraph">Paragraph %s of article %08d with deterministic body text.</p>'),
+        F.lit('</div><div class="se-component se-image">'),
+        F.format_string('<img src="%s"/>', img),
+        F.lit("</div></div></body></html>"),
+    )
+
+    lenny = F.concat(
+        F.format_string('<html><body><h1 class="post-title">Title %08d</h1>', art),
+        F.lit('<div class="available-content">'),
+        _paras(art, seed, _P),
+        F.lit("<ul><li>point a</li><li>point b</li></ul>"),
+        F.format_string('<figure><img src="%s"/></figure>', img),
+        F.lit("</div></body></html>"),
+    )
+
+    # quora: double-encoded answer JSON inside push("...") — build the inner
+    # JSON then escape it twice, all JVM-side
+    inner_content = F.format_string(
+        '{"sections":[{"type":"text","spans":[{"text":"Answer body of %08d."}]}]}', art
+    )
+    inner_title = F.lit('{"sections":[{"spans":[{"text":"What is X?"}]}]}')
+
+    def js_escape(c: F.Column) -> F.Column:
+        return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"')
+
+    answer = F.concat(
+        F.lit('{"data":{"answer":{"content":"'), js_escape(inner_content),
+        F.lit('","creationTime":1700000000000000,"author":{"names":[{"givenName":"Jane","familyName":"Doe"}]},"question":{"title":"'),
+        js_escape(inner_title),
+        F.lit('"}}}}'),
+    )
+    quora = F.concat(
+        F.lit('<html><script>x.push("'), js_escape(answer), F.lit('");</script></html>')
+    )
+
+    return {
+        "toutiao": toutiao, "wechat": wechat, "netease": netease, "sohu": sohu,
+        "tencent": tencent, "bbc": bbc, "cnn": cnn, "detik": detik,
+        "naver": naver, "lenny": lenny, "quora": quora,
+    }
+
+
+def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) -> DataFrame:
+    """Synthetic web: one page per article id in [0, n), platform-correct
+    HTML per dialect (so the whole extraction surface is exercised).
+
+    out_links: `fanout` deeper toutiao article URLs derived from the id —
+    includes back-links to smaller ids (already-seen, anti-join exercise).
+    ~4% of pages return 404/500 (retry/quarantine exercise, base.py:26-28).
+    """
+    df = spark.range(n).withColumnRenamed("id", "rid")
+    art = F.col("rid")
+    slot = _mix(art, seed, 100)
+    platform = _platform_expr(slot)
+    url = None
+    for p, (_dom, tmpl) in URL_SHAPES.items():
+        pre, post = tmpl.split("{id}")
+        u = F.concat(F.lit(pre), F.format_string("%08d", art), F.lit(post))
+        url = F.when(platform == p, u) if url is None else url.when(platform == p, u)
+
+    status = (
+        F.when(_mix(art, seed + 20, 50) == 0, F.lit(500))
+        .when(_mix(art, seed + 21, 50) == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    html_by_platform = _html_exprs(art, seed)
+    html = None
+    for p, h in html_by_platform.items():
+        html = F.when(platform == p, h) if html is None else html.when(platform == p, h)
+
+    # out-links: children 2*id+1.. (tree-ish growth) mod n, as toutiao URLs
+    link_ids = F.transform(
+        F.sequence(F.lit(1), F.lit(fanout)),
+        lambda i: F.pmod(art * 2 + i * 7 + 1, F.lit(n * 4)),
+    )
+    pre, post = URL_SHAPES["toutiao"][1].split("{id}")
+    out_links = F.transform(
+        link_ids, lambda lid: F.concat(F.lit(pre), F.format_string("%08d", lid), F.lit(post))
+    )
+    return df.select(
+        url.alias("url"),
+        status.cast("int").alias("status"),
+        F.when(status == 200, html).otherwise(F.lit(None)).alias("html"),
+        F.when(status == 200, out_links).otherwise(F.array().cast("array<string>")).alias(
+            "out_links"
+        ),
+    )
+
+
+def synth_budgets(spark: SparkSession, capacity_default: int = 100) -> DataFrame:
+    """Per-domain politeness budgets (pixabay 100/60s shape, base.py:16-26).
+
+    The two mega-hosts get larger budgets (they'd dominate otherwise);
+    one domain is nearly starved to exercise deferral.
+    """
+    rows = []
+    for p, (dom, _t) in URL_SHAPES.items():
+        cap = capacity_default
+        if p in ("toutiao", "wechat"):
+            cap = capacity_default * 4
+        if p == "cnn":
+            cap = max(1, capacity_default // 20)
+        rows.append((dom, cap, 60, 0.0))
+    return spark.createDataFrame(rows, schema.BUDGETS)
+
+
+def synth_robots(spark: SparkSession) -> DataFrame:
+    """Robots rules: one full-deny domain (quora), crawl-delay on naver."""
+    rows = []
+    for p, (dom, _t) in URL_SHAPES.items():
+        allow = p != "quora"
+        delay = 2.0 if p == "naver" else 0.0
+        rows.append((dom, "/", allow, delay))
+    return spark.createDataFrame(rows, schema.ROBOTS)

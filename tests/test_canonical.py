@@ -1,0 +1,72 @@
+"""Canonicalization parity: Spark expressions == pure-Python twins ==
+the reference's documented get_article_id examples."""
+
+from pyspark.sql import functions as F
+
+from newscrawler_spark.canonical import (
+    article_id,
+    article_id_py,
+    canonical_url,
+    canonical_url_py,
+    detect_platform,
+    detect_platform_py,
+    domain_of,
+    domain_of_py,
+)
+
+# (url, expected_platform, expected_article_id) — ids from the reference
+# docstrings (e.g. toutaio_news.py:58-59, netease_news.py:63-64, ...)
+CASES = [
+    ("https://www.toutiao.com/article/7404384826024935990/?log_from=6ca9c55804822_1729740822770",
+     "toutiao", "7404384826024935990"),
+    ("https://www.toutiao.com/article/7434425099895210546/", "toutiao", "7434425099895210546"),
+    ("https://mp.weixin.qq.com/s/SSgnSfAhcYdSdCbSCqf3dw?poc_token=x", "wechat", "SSgnSfAhcYdSdCbSCqf3dw"),
+    ("https://www.163.com/news/article/KC12OUHK000189FH.html", "netease", "KC12OUHK000189FH"),
+    ("https://www.163.com/dy/article/ABCD1234.html?clickfrom=w_yw", "netease", "ABCD1234"),
+    ("https://www.sohu.com/a/945014338_160447", "sohu", "945014338"),
+    ("https://news.qq.com/rain/a/20251016A07W8J00", "tencent", "20251016A07W8J00"),
+    ("https://www.bbc.com/news/articles/c797qlx93j0o", "bbc", "c797qlx93j0o"),
+    ("https://edition.cnn.com/2025/10/27/uk/sami-hamdi-detained-ice-intl",
+     "cnn", "sami-hamdi-detained-ice-intl"),
+    ("https://news.detik.com/internasional/d-7626006/5-pernyataan-trump", "detik", "d-7626006"),
+    ("https://blog.naver.com/newsroom/223663803144", "naver", "223663803144"),
+    ("https://www.lennysnewsletter.com/p/how-duolingo-reignited-user-growth",
+     "lenny", "how-duolingo-reignited-user-growth"),
+    ("https://www.quora.com/What-is-X/answer/Some-One-42?ch=10", "quora", "Some-One-42"),
+    ("https://www.quora.com/q/something/answers/123456789", "quora", "123456789"),
+    ("https://example.com/some/page?q=1#frag", None, None),
+]
+
+
+def test_python_twins():
+    for url, plat, aid in CASES:
+        assert detect_platform_py(url) == plat, url
+        if plat:
+            assert article_id_py(url, plat) == aid, url
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], ["url"])
+    rows = df.select(
+        "url",
+        detect_platform("url").alias("p"),
+        article_id("url", detect_platform("url")).alias("aid"),
+        canonical_url("url").alias("canon"),
+        domain_of("url").alias("dom"),
+    ).collect()
+    for r in rows:
+        assert r["p"] == detect_platform_py(r["url"]), r["url"]
+        if r["p"]:
+            assert r["aid"] == article_id_py(r["url"], r["p"]), r["url"]
+        assert r["canon"] == canonical_url_py(r["url"]), r["url"]
+        assert r["dom"] == domain_of_py(r["url"]), r["url"]
+
+
+def test_canonical_dedups_query_noise():
+    a = canonical_url_py("https://www.toutiao.com/article/74x/?log_from=1")
+    b = canonical_url_py("https://www.toutiao.com/article/74x/")
+    assert a == b == "toutiao:74x"
+
+
+def test_unknown_platform_fallback():
+    assert canonical_url_py("https://example.com/a/b/?q=1#f") == "https://example.com/a/b"
