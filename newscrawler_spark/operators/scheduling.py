@@ -1,0 +1,133 @@
+"""The politeness scheduler: per-domain priority queue (A5/W3), budget
+gate with round-wise deferral (A6), robots gate, skew-salted domain
+repartitioning.
+
+Reference semantics encoded:
+  * per-group cap / priority queue — MAX_RESOURCES_PER_KEYWORD top-k
+    (/root/reference/video_crawler/pixabay/videos/downloader.py:80-99,
+    pixabay/common/schemas.py:6);
+  * budget block-until-reset — APIKeyPool.get_key sleeps until the
+    earliest reset when exhausted (pixabay/common/base.py:38-55); the
+    engine never sleeps in executors: rows beyond the budget are
+    *deferred* to the next round's frontier (filter + union), which
+    reproduces blocking semantics round-wise;
+  * crawl-delay: effective per-round capacity = min(capacity,
+    floor(window_s / crawl_delay_s)) for delay > 0;
+  * deterministic ordering — rank over (priority, depth, seq) within a
+    domain; total crawl order = (round, domain, rank).  seq is a
+    deterministic tie-breaker, so two cluster sizes produce identical
+    orderings (north_rule requirement).
+
+Scale notes:
+  * budgets/robots are tiny per-domain tables → broadcast joins (J3);
+  * the rank window shuffles by domain — mega-hosts skew this, so the
+    *fetch* stage repartitions by (domain, salt) with salt width scaled
+    to the domain's row count (salt_domains), while the rank itself
+    must stay un-salted (a per-domain queue is inherently per-domain;
+    its skew is bounded by deferral: at most `capacity` rows survive
+    per domain per round, and AQE skew-join splitting covers the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def RANK_ORDER():
+    """Deterministic within-domain order: (priority, depth, seq)."""
+    return [F.col("priority").asc(), F.col("depth").asc(), F.col("seq").asc()]
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (allowed, denied) by per-domain robots rules.
+
+    robots: (domain, path_prefix, allow, crawl_delay_s).  Prefix semantics:
+    a candidate is denied if the longest matching prefix rule for its
+    domain has allow=false; domains with no rule default to allow.
+    """
+    r = robots.select(
+        F.col("domain").alias("r_domain"),
+        "path_prefix",
+        "allow",
+        "crawl_delay_s",
+    )
+    path = F.coalesce(F.nullif(F.parse_url("url", F.lit("PATH")), F.lit("")), F.lit("/"))
+    joined = candidates.withColumn("__path", path).join(
+        F.broadcast(r),
+        (F.col("domain") == F.col("r_domain"))
+        & F.col("__path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    # longest-prefix rule wins per candidate row
+    w = Window.partitionBy("url", "seq").orderBy(F.length("path_prefix").desc())
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "r_domain", "__path", "path_prefix")
+    )
+    allowed = best.filter(F.coalesce(F.col("allow"), F.lit(True))).drop("allow")
+    denied = best.filter(~F.coalesce(F.col("allow"), F.lit(True))).drop(
+        "allow", "crawl_delay_s"
+    )
+    return allowed, denied
+
+
+def budget_gate(
+    candidates: DataFrame, budgets: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Rank candidates per domain and split into (eligible, deferred).
+
+    candidates must carry (domain, priority, depth, seq, crawl_delay_s?).
+    eligible = rank <= effective capacity; deferred rows keep all frontier
+    columns and return to the next round (A6 round-wise blocking).
+    """
+    b = budgets.select(
+        F.col("domain").alias("b_domain"), "capacity", "window_s"
+    )
+    joined = candidates.join(
+        F.broadcast(b), F.col("domain") == F.col("b_domain"), "left"
+    ).drop("b_domain")
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(0.0))
+    eff_cap = F.when(
+        delay > 0,
+        F.least(
+            F.coalesce(F.col("capacity"), F.lit(2**31 - 1)),
+            F.floor(F.coalesce(F.col("window_s"), F.lit(60)) / delay).cast("int"),
+        ),
+    ).otherwise(F.coalesce(F.col("capacity"), F.lit(2**31 - 1)))
+
+    w = Window.partitionBy("domain").orderBy(*RANK_ORDER())
+    ranked = joined.withColumn("rank", F.row_number().over(w)).withColumn(
+        "__eff_cap", eff_cap
+    )
+    eligible = ranked.filter(F.col("rank") <= F.col("__eff_cap")).drop(
+        "__eff_cap", "capacity", "window_s", "crawl_delay_s"
+    )
+    deferred = ranked.filter(F.col("rank") > F.col("__eff_cap")).drop(
+        "__eff_cap", "capacity", "window_s", "crawl_delay_s", "rank"
+    )
+    return eligible, deferred
+
+
+def salt_domains(df: DataFrame, n_partitions: int, salt_factor: int = 8) -> DataFrame:
+    """Repartition by (domain, salt) ahead of the fetch stage so a
+    mega-host's rows spread over `salt_factor` partitions instead of
+    hot-spotting one executor (explicit skew handling per north_rule;
+    AQE remains the backstop for joins)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_factor)).cast("int")
+    )
+    return salted.repartition(n_partitions, "domain", "__salt").drop("__salt")
+
+
+def dedup_within_round(candidates: DataFrame) -> DataFrame:
+    """First-wins per canonical_url inside one round: the reference
+    processes URLs serially, so the first occurrence (by priority, depth,
+    seq) claims the canonical id and later duplicates are idempotent
+    re-crawls (base.py:99-107)."""
+    w = Window.partitionBy("canonical_url").orderBy(*RANK_ORDER())
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,141 @@
+"""J4 — the URL-seen operator: partitioned-bloom prune + exact anti-join.
+
+Reference semantics: persistence keyed by ``get_article_id()`` makes a
+re-crawl of a seen URL idempotent (/root/reference/news_crawler/core/
+base.py:99-107).  The engine makes that an explicit, exact seen-set:
+
+  candidates --bloom probe (vectorized, per-bucket)--> {definitely-new,
+  maybe-seen} ; maybe-seen --left_anti join url_seen--> confirmed-new
+
+The bloom filter is *prune-only*: a false positive only sends a row to
+the exact anti-join; a negative is definitive (no false negatives), so
+the resulting seen-set is exactly reference-equal while the expensive
+shuffle-against-10^10-rows only sees the maybe-seen minority.
+
+Scale design:
+  * url_seen is hash-partitioned by ``bucket = pmod(xxhash64(canonical),
+    n_buckets)``; the bloom sidecar has one row (bucket, bitset) per
+    bucket, built/merged with Arrow-vectorized numpy inside
+    applyInPandas — never per-row Python;
+  * the anti-join joins on (bucket, url_hash) so partition pruning +
+    co-located shuffles apply;
+  * at 10^10 URLs: n_buckets ~4k, bitset ~64-256 MB/bucket → the probe
+    join is a co-partitioned join on bucket, not a broadcast.  In the
+    sandbox the bloom table is a few MB and Spark broadcasts it (AQE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_K = 4  # hash functions per key
+
+
+def _bit_positions(hashes: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, BLOOM_K) bit indices via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher).  hashes are int64; arithmetic in uint64."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _build_bitset(hashes: np.ndarray, m_bits: int) -> bytes:
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bit_positions(hashes, m_bits).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _probe_bitset(hashes: np.ndarray, bitset: bytes, m_bits: int) -> np.ndarray:
+    bits = np.frombuffer(bitset, dtype=np.uint8)
+    pos = _bit_positions(hashes, m_bits)
+    hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hit.all(axis=1)  # all k bits set → maybe seen
+
+
+def build_bloom(url_seen: DataFrame, n_buckets: int, m_bits: int) -> DataFrame:
+    """Per-bucket bitsets from a url_seen table (url_hash, bucket)."""
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitset": [_build_bitset(pdf["url_hash"].to_numpy(), m_bits)],
+                "n_items": [len(pdf)],
+            }
+        )
+
+    return url_seen.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
+        per_bucket, schema="bucket int, bitset binary, n_items bigint"
+    )
+
+
+def merge_bloom(bloom: DataFrame, new_seen: DataFrame, n_buckets: int, m_bits: int) -> DataFrame:
+    """OR new hashes into existing per-bucket bitsets (incremental merge —
+    the 'incremental URL-seen merges' stage of the north star)."""
+    new_bits = build_bloom(new_seen, n_buckets, m_bits)
+    unioned = bloom.unionByName(new_bits)
+
+    def or_bitsets(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in pdf["bitset"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitset": [acc.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+            }
+        )
+
+    return unioned.groupBy("bucket").applyInPandas(
+        or_bitsets, schema="bucket int, bitset binary, n_items bigint"
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    bloom: DataFrame | None,
+    n_buckets: int,
+    m_bits: int,
+) -> DataFrame:
+    """Rows of ``candidates`` whose canonical_url is NOT in url_seen.
+
+    candidates must carry (canonical_url); url_seen carries
+    (url_hash, bucket).  Bloom prunes, exact anti-join confirms.
+    """
+    cand = candidates.withColumn("url_hash", F.xxhash64("canonical_url")).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    if bloom is None:
+        out = cand.join(
+            url_seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+        )
+        return out.drop("url_hash", "bucket")
+
+    probed = cand.join(bloom.select("bucket", "bitset"), "bucket", "left")
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(url_hash: pd.Series, bitset: pd.Series) -> pd.Series:
+        out = np.zeros(len(url_hash), dtype=bool)
+        if len(url_hash) == 0:
+            return pd.Series(out)
+        hashes = url_hash.to_numpy()
+        # group rows by identical bitset object (one per bucket in practice)
+        null_mask = bitset.isna().to_numpy()
+        for b in bitset[~null_mask].drop_duplicates():
+            mask = (bitset == b).to_numpy() & ~null_mask
+            out[mask] = _probe_bitset(hashes[mask], b, m_bits)
+        return pd.Series(out)
+
+    probed = probed.withColumn("maybe_seen", maybe_seen("url_hash", "bitset")).drop("bitset")
+    definitely_new = probed.filter(~F.col("maybe_seen"))
+    needs_check = probed.filter(F.col("maybe_seen")).join(
+        url_seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+    )
+    return definitely_new.unionByName(needs_check).drop("maybe_seen", "url_hash", "bucket")

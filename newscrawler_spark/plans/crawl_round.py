@@ -1,0 +1,237 @@
+"""One crawl round — the engine's core physical plan (SURVEY.md §4):
+
+  frontier_n
+    → canonicalize (X1/F1/F2)            [staged JVM exprs]
+    → within-round first-wins dedup       [window over canonical_url]
+    → bloom probe + exact anti-join (J4)  [prune, then confirm]
+    → robots gate (broadcast)             [deny → quarantine, seen]
+    → budget gate (A5/A6)                 [rank ≤ cap; rest deferred]
+    → salt + repartition (skew)           [fetch locality]
+    → fetch (U3)                          [fixture join or mapInPandas]
+    → extract (U1, pandas UDF)            [interleaved spans]
+    → validate (F3)                       [empty/invalid → quarantine]
+    → deltas: docs, url_seen, quarantine, fetch_order, metrics,
+      frontier_{n+1} = deferred ∪ discovered out-links
+
+Seen-set semantics (the contract the simulator oracle also implements):
+a canonical URL becomes *seen* the round it is scheduled (eligible after
+the budget gate) or robots-denied/unsupported (terminal without fetch).
+Deferred rows are not seen — they re-compete next round.  Retries happen
+*inside* the fetch stage (tenacity-style, base.py:73-78), never across
+rounds, so every scheduled URL reaches a terminal state in its round.
+
+Determinism: every derived value is a pure function of (url, round,
+config) — discovered rows get seq = md5_64(url), so two cluster sizes
+(or a killed+resumed run) produce identical frontiers and orderings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..canonical import with_url_identity
+from ..operators.scheduling import (
+    apply_robots,
+    budget_gate,
+    dedup_within_round,
+    salt_domains,
+)
+from ..operators.seen import filter_unseen
+from ..xhash import md5_64
+
+FRONTIER_COLS = [
+    "url", "domain", "priority", "depth", "seq", "round_added", "attempt",
+    "source_seed",
+]
+
+
+@dataclass
+class RoundConfig:
+    n_buckets: int = 64
+    m_bits: int = 1 << 20
+    n_partitions: int = 32
+    salt_factor: int = 8
+    max_depth: int = 10
+
+
+@dataclass
+class RoundResult:
+    docs: DataFrame
+    seen_delta: DataFrame
+    quarantine: DataFrame
+    fetch_order: DataFrame
+    frontier_next: DataFrame
+    counters: dict  # filled by the scheduler after actions run
+
+
+def run_round(
+    frontier: DataFrame,
+    url_seen: DataFrame | None,
+    bloom: DataFrame | None,
+    budgets: DataFrame,
+    robots: DataFrame,
+    fetcher,
+    round_no: int,
+    conf: RoundConfig,
+) -> RoundResult:
+    spark = frontier.sparkSession
+
+    # 1-2. identity + within-round dedup
+    cand = with_url_identity(frontier)
+    cand = dedup_within_round(cand)
+
+    # unsupported-platform rows are terminal (extractor has no dialect —
+    # mirrors detect_platform → None → error, extractor.py:56-73)
+    supported = cand.filter(F.col("platform").isNotNull())
+    unsupported = cand.filter(F.col("platform").isNull())
+
+    # 3. seen-set anti-join (bloom prune + exact)
+    if url_seen is not None:
+        new = filter_unseen(supported, url_seen, bloom, conf.n_buckets, conf.m_bits)
+        # unsupported rows also only quarantine once
+        unsupported = filter_unseen(
+            unsupported, url_seen, bloom, conf.n_buckets, conf.m_bits
+        )
+    else:
+        new = supported
+
+    # 4. robots gate
+    allowed, denied = apply_robots(new, robots)
+
+    # 5. budget gate → (eligible, deferred)
+    eligible, deferred = budget_gate(allowed, budgets)
+
+    # 6. skew-aware repartition, then fetch + extract
+    eligible = salt_domains(eligible, conf.n_partitions, conf.salt_factor)
+    fetched = fetcher.fetch(eligible)
+
+    ok = fetched.filter(F.col("status") == 200)
+    failed = fetched.filter(F.col("status") != 200)
+
+    from ..functions.extract import extract_udf
+
+    extracted = ok.withColumn(
+        "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
+    )
+    valid = extracted.filter(
+        F.col("ex.error").isNull()
+        & (F.size("ex.spans") > 0)
+        & F.col("ex.title").isNotNull()
+    )
+    invalid = extracted.filter(
+        F.col("ex.error").isNotNull() | (F.size("ex.spans") <= 0)
+    )
+
+    docs = valid.select(
+        F.col("canonical_url").alias("doc_id"),
+        F.col("ex.spans").alias("spans"),
+        F.col("ex.title").alias("title"),
+        F.col("ex.subtitle").alias("subtitle"),
+        F.col("url").alias("news_url"),
+        "platform",
+        F.struct(
+            F.col("ex.author_name").alias("author_name"),
+            F.col("ex.author_url").alias("author_url"),
+            F.col("ex.publish_time").alias("publish_time"),
+        ).alias("meta"),
+        F.lit(round_no).alias("round"),
+        F.pmod(F.xxhash64("domain"), F.lit(conf.n_buckets)).cast("int").alias(
+            "domain_bucket"
+        ),
+        "source_seed",
+    )
+
+    # 7. quarantine: fetch failures + invalid extractions + robots denials
+    #    + unsupported platforms (per-row isolation, server.py:130-182)
+    quarantine = (
+        failed.select(
+            "url",
+            F.lit(round_no).alias("round"),
+            F.concat(F.lit("http_"), F.col("status")).alias("error"),
+            F.col("attempts").alias("attempt"),
+        )
+        .unionByName(
+            invalid.select(
+                "url",
+                F.lit(round_no).alias("round"),
+                F.coalesce(F.col("ex.error"), F.lit("empty content")).alias("error"),
+                F.col("attempts").alias("attempt"),
+            )
+        )
+        .unionByName(
+            denied.select(
+                "url",
+                F.lit(round_no).alias("round"),
+                F.lit("robots_denied").alias("error"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+        .unionByName(
+            unsupported.select(
+                "url",
+                F.lit(round_no).alias("round"),
+                F.lit("unsupported_platform").alias("error"),
+                F.lit(0).alias("attempt"),
+            )
+        )
+    )
+
+    # 8. seen delta: everything that reached a terminal state this round
+    terminal = (
+        eligible.select("canonical_url")
+        .unionByName(denied.select("canonical_url"))
+        .unionByName(unsupported.select("canonical_url"))
+    )
+    seen_delta = terminal.select(
+        F.xxhash64("canonical_url").alias("url_hash"),
+        F.pmod(F.xxhash64("canonical_url"), F.lit(conf.n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        "canonical_url",
+        F.lit(round_no).alias("round_seen"),
+    )
+
+    # 9. deterministic crawl order: (round, domain, rank)
+    fetch_order = eligible.select(
+        F.lit(round_no).alias("round"),
+        "domain",
+        "rank",
+        "canonical_url",
+        "url",
+    )
+
+    # 10. next frontier = deferred ∪ discovered out-links
+    discovered = (
+        ok.filter(F.col("depth") < conf.max_depth)
+        .select(
+            F.col("source_seed"),
+            F.col("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.explode("out_links").alias("url"),
+        )
+        .select(
+            "url",
+            F.parse_url("url", F.lit("HOST")).alias("domain"),
+            "priority",
+            "depth",
+            md5_64(F.col("url")).alias("seq"),
+            F.lit(round_no + 1).alias("round_added"),
+            F.lit(0).alias("attempt"),
+            "source_seed",
+        )
+    )
+    frontier_next = deferred.select(*FRONTIER_COLS).unionByName(
+        discovered.select(*FRONTIER_COLS)
+    )
+
+    return RoundResult(
+        docs=docs,
+        seen_delta=seen_delta,
+        quarantine=quarantine,
+        fetch_order=fetch_order,
+        frontier_next=frontier_next,
+        counters={},
+    )

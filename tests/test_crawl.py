@@ -1,0 +1,127 @@
+"""Engine-vs-simulator equivalence (crawl ordering + URL-seen set, the
+north_rule correctness criteria) and kill/resume bit-identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark import schema
+from newscrawler_spark.oracle.simulator import simulate_crawl
+from newscrawler_spark.plans.crawl_round import RoundConfig
+from newscrawler_spark.plans.scheduler import crawl, seed_frontier
+from newscrawler_spark.sources.catalog import Catalog
+from newscrawler_spark.sources.fetch import FixtureFetcher
+from newscrawler_spark.synth import synth_budgets, synth_frontier, synth_pages, synth_robots
+
+N_SEEDS = 120
+N_PAGES = 800
+MAX_ROUNDS = 4
+CONF = RoundConfig(n_buckets=16, m_bits=1 << 16, n_partitions=8, salt_factor=4)
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    seeds = synth_frontier(spark, N_SEEDS).cache()
+    pages = synth_pages(spark, N_PAGES).cache()
+    budgets = synth_budgets(spark, capacity_default=12).cache()
+    robots = synth_robots(spark).cache()
+    return seeds, pages, budgets, robots
+
+
+@pytest.fixture(scope="module")
+def sim_result(spark, world):
+    seeds, pages, budgets, robots = world
+    sim_seeds = [r.asDict() for r in seeds.collect()]
+    sim_pages = {
+        r["url"]: (r["status"], r["html"], list(r["out_links"] or []))
+        for r in pages.collect()
+    }
+    sim_budgets = {r["domain"]: (r["capacity"], r["window_s"]) for r in budgets.collect()}
+    sim_robots = [
+        (r["domain"], r["path_prefix"], r["allow"], r["crawl_delay_s"] or 0.0)
+        for r in robots.collect()
+    ]
+    return simulate_crawl(
+        sim_seeds, sim_pages, sim_budgets, sim_robots,
+        max_rounds=MAX_ROUNDS, max_depth=CONF.max_depth,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, world, tmp_path_factory):
+    seeds, pages, budgets, robots = world
+    cat = Catalog(tmp_path_factory.mktemp("crawl"))
+    seed_frontier(cat, seeds)
+    crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=CONF)
+    return cat
+
+
+def test_fetch_order_matches_simulator(spark, engine_result, sim_result):
+    order = spark.read.parquet(
+        *[engine_result.delta_path("fetch_order", r) for r in range(MAX_ROUNDS)
+          if __import__("pathlib").Path(engine_result.delta_path("fetch_order", r)).exists()]
+    )
+    got = {
+        (r["round"], r["domain"], r["rank"], r["canonical_url"])
+        for r in order.collect()
+    }
+    want = set(sim_result["fetch_order"])
+    assert got == want
+
+
+def test_seen_set_matches_simulator(spark, engine_result, sim_result):
+    seen = engine_result.read_table(spark, "url_seen")
+    got = {r["canonical_url"] for r in seen.collect()}
+    assert got == sim_result["seen"]
+    # seen rows are unique per canonical
+    assert seen.count() == seen.select("canonical_url").distinct().count()
+
+
+def test_docs_and_spans_match_simulator(spark, engine_result, sim_result):
+    docs = engine_result.read_table(spark, "docs")
+    got = {r["doc_id"]: r for r in docs.collect()}
+    want = sim_result["docs"]
+    assert set(got) == set(want)
+    for doc_id, sim_doc in want.items():
+        eng_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got[doc_id]["spans"]
+        ]
+        sim_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in sim_doc["spans"]
+        ]
+        assert eng_spans == sim_spans, doc_id
+        assert got[doc_id]["title"] == sim_doc["title"]
+
+
+def test_quarantine_matches_simulator(spark, engine_result, sim_result):
+    q = engine_result.read_table(spark, "quarantine")
+    got = {(r["url"], r["round"], r["error"]) for r in q.collect()}
+    want = {(u, rnd, err) for (u, rnd, err) in sim_result["quarantine"]}
+    assert got == want
+
+
+def test_kill_and_resume_bit_identical(spark, world, engine_result, tmp_path_factory):
+    seeds, pages, budgets, robots = world
+    cat2 = Catalog(tmp_path_factory.mktemp("crawl_resume"))
+    seed_frontier(cat2, seeds)
+    # run rounds 0-1, "die", then resume
+    crawl(spark, cat2, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=CONF, stop_after_round=1)
+    assert cat2.last_round == 1
+    crawl(spark, cat2, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=CONF)
+
+    for table, key in [
+        ("fetch_order", ["round", "domain", "rank", "canonical_url", "url"]),
+        ("url_seen", ["canonical_url", "round_seen"]),
+        ("quarantine", ["url", "round", "error", "attempt"]),
+    ]:
+        a = engine_result.read_table(spark, table).select(*key)
+        b = cat2.read_table(spark, table).select(*key)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), table
+    # docs incl. spans
+    a = engine_result.read_table(spark, "docs")
+    b = cat2.read_table(spark, "docs")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
