@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl round end-to-end (canonicalize →
+dedup → robots/budget schedule → fixture fetch → pandas-UDF span
+extraction) on a synthetic web sized from sf0.001 and returns the
+extracted interleaved-span docs table.
+
+``queries``/``oracle_sql`` expose the operator registry from
+``newscrawler_spark.queries`` — each PySpark implementation paired with
+a DuckDB-runnable SQL oracle (see that module for the cross-engine
+determinism rules).  ``ann_lsh_topk`` intentionally has no oracle
+(float-sign-sensitive LSH bucketing → rows-only check; recall vs the
+exact top-k is asserted in tests/test_training_ops.py instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full crawl round on a deterministic synthetic web
+    sized from /root/testdata/sf0.001; returns the docs delta."""
+    from newscrawler_spark import synth
+    from newscrawler_spark.plans.crawl_round import RoundConfig, run_round
+    from newscrawler_spark.session import tune
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+
+    tune(spark)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    frontier = synth.synth_frontier(spark, n)
+    pages = synth.synth_pages(spark, n)
+    budgets = synth.synth_budgets(spark, capacity_default=50)
+    robots = synth.synth_robots(spark)
+    result = run_round(
+        frontier,
+        url_seen=None,
+        bloom=None,
+        budgets=budgets,
+        robots=robots,
+        fetcher=FixtureFetcher(pages),
+        round_no=0,
+        conf=RoundConfig(n_partitions=8),
+    )
+    return result.docs
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from newscrawler_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from newscrawler_spark.queries import ORACLES
+
+    return dict(ORACLES)

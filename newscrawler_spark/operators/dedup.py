@@ -1,0 +1,260 @@
+"""Corpus-scale deduplication operators for the training-data pipeline:
+
+  * exact dedup            — hash-groupBy on normalized text
+  * n-gram Jaccard pairs   — inverted-index (shared-shingle) candidate
+                             join + exact Jaccard verify
+  * MinHash + LSH          — banded minhash signatures, band-bucket
+                             join for candidates, Jaccard verify
+  * SimHash near-dup       — 32-bit simhash + hamming-distance pairs
+
+Generalizes the reference's only dedup (within-document first-wins on
+(type, content) — /root/reference/news_crawler/wechat_news/
+wechat_news.py:236-256) to cross-document corpus dedup.
+
+All hashes are the cross-engine ``md5_64`` (xhash.py) so the driver's
+DuckDB oracle reproduces every value exactly.  Jaccard similarities are
+ratios of small ints → IEEE-identical across engines.
+
+Scale design (100 TB):
+  * exact dedup: one shuffle on the 64-bit fingerprint, map-side
+    partial agg (min doc_id) — never on raw text;
+  * candidate generation shuffles on shingle/band hashes (bounded-size
+    keys), and pairs are emitted only within a bucket — the classic
+    O(candidates) not O(n²) shape; `pair_cap` guards pathological
+    buckets (a shingle shared by k docs emits k² pairs — cap + log);
+  * verify joins texts back by doc_id (co-partitioned on the id), so
+    full text moves at most once per candidate pair side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textops import shingles, simhash32, words
+from ..xhash import md5_64
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact (normalized) text; adds group stats.
+
+    Returns (doc_id, fingerprint, dup_count) — one row per distinct text,
+    doc_id = min id of the group (first-wins, mirroring the reference's
+    idempotent overwrite-by-id semantics at base.py:99-107).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), md5_64(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("doc_id", "fingerprint", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle inverted index → candidate pairs → exact Jaccard
+# ---------------------------------------------------------------------------
+
+def _distinct_shingle_hashes(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, sh) — distinct shingle hashes per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.transform(shingles(text_col, k), md5_64))).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    pair_cap: int = 1_000_000,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word k-gram shingle sets,
+    with shared-shingle candidate generation (inverted-index join).
+
+    Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs
+    with jaccard >= threshold, doc_a < doc_b.
+    """
+    sh = _distinct_shingle_hashes(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+        .limit(pair_cap)
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) minhash signature via n seeded md5_64 hashes:
+    h_j(doc) = min over shingles s of md5_64(s || '#' || j).
+
+    Computed as array higher-order functions — no explode, no shuffle.
+    Docs with no shingles (< k words) hash the whole text instead.
+    """
+    sh = shingles(text_col, k)
+    base = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
+    cols = [F.col(id_col).alias("doc_id")]
+    for j in range(n_hashes):
+        cols.append(
+            F.array_min(
+                F.transform(base, lambda s, _j=j: md5_64(F.concat(s, F.lit(f"#{_j}"))))
+            ).alias(f"h{j}")
+        )
+    return docs.select(*cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and emit distinct candidate pairs sharing any
+    band bucket.  Band key = md5_64 of the concatenated band values.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b.
+    """
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"h{b * band_size + i}").cast("string") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), md5_64(F.concat_ws("|", *parts)).alias("key"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidate pairs from banded
+    minhash, verified with exact Jaccard over shingle sets.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, band_size)
+    sh = _distinct_shingle_hashes(docs, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    # common shingles per candidate pair: expand pair×shingles_a, then
+    # inner-join on (doc_b, sh) — co-partitioned on the id columns
+    common = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash per document."""
+    return docs.select(F.col(id_col).alias("doc_id"), simhash32(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation by the pigeonhole block trick: split the 32-bit
+    hash into `n_blocks` 8-bit blocks; any pair within max_hamming <
+    n_blocks must agree exactly on ≥1 block → join per block, verify
+    hamming.  O(matching-block pairs), not O(n²).
+    """
+    t = simhash_table(docs, id_col, text_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    blocked = t.select("doc_id", "simhash", F.explode(blocks).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "val"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "val"
+    )
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

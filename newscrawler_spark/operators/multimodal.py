@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by Arrow-
+batched ``mapInPandas`` stages.
+
+The reference downloads media bytes straight to disk
+(/root/reference/video_crawler/pixabay/videos/downloader.py:156-161)
+and never decodes them; the engine keeps bytes as a first-class column
+so decode / feature-extract / resize / frame-sample run as distributed
+stages.  The actual codec step is STUBBED (no image/audio libs in this
+container): ``decode_fake`` derives deterministic metadata from the
+bytes via md5 arithmetic — the Spark-side plumbing (schema, batch
+shape, partitioning) is real and tested, and the stub swaps for a
+PIL/ffmpeg call on a real cluster.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.files.maxPartitionBytes`` sized so a partition of blobs
+fits executor memory, and prefer pushing metadata-only projections
+(no bytes) through the rest of the plan — the bytes column is pruned
+by Catalyst unless explicitly selected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_DDL = (
+    "media_id string, n_bytes int, format string, width int, height int, ok boolean"
+)
+
+
+def decode_fake(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decode: metadata derived from
+    md5(payload).  Replace with a real decoder (PIL.Image.open) on a
+    cluster; the signature and schema stay identical."""
+    if payload is None or len(payload) == 0:
+        return {"n_bytes": 0, "format": None, "width": None, "height": None, "ok": False}
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return {
+        "n_bytes": len(payload),
+        "format": ["jpeg", "png", "webp"][h % 3],
+        "width": 64 + (h // 3) % 1856,
+        "height": 64 + (h // 7) % 1016,
+        "ok": True,
+    }
+
+
+def real_decode_stub(payload: bytes) -> dict:
+    """The production decode seam — libs not present in this container."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "swap decode_fake for a PIL/ffmpeg-backed decoder on a cluster"
+    )
+
+
+def decode_media(
+    media: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas decode stage: (media_id, payload:binary) →
+    (media_id, n_bytes, format, width, height, ok).
+
+    Arrow-batched — Python cost is per batch; the per-element decode is
+    inherent (a codec is per-element by nature), which is the allowed
+    shape under the 'no per-row Python' rule (the *transfer* is batched).
+    """
+    id_name, bytes_name = id_col, bytes_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_fake(p) for p in pdf[bytes_name]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf[id_name].astype(str).values)
+            yield out
+
+    return media.select(id_col, bytes_col).mapInPandas(run, schema=MEDIA_META_DDL)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n: int = 30, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame index with deterministic fake frame count (the real
+    count comes from the container header on a cluster).
+
+    Returns (media_id, frame_idx).
+    """
+    fake_frames = (F.pmod(F.abs(F.xxhash64(id_col)), F.lit(300)) + F.lit(30)).cast("int")
+    return media.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(
+            F.sequence(F.lit(0), fake_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

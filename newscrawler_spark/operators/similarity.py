@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (array<float>):
+
+  * brute-force cosine top-k          — the exact baseline
+  * LSH-bucketed ANN (random          — the scale path: sign-sketch
+    hyperplanes via seeded md5_64)      buckets prune the candidate set
+  * embedding-cosine near-dup pairs   — blocked pairwise cosine
+
+The reference has no vector search; these are the engine-added
+training-data ops (similar in spirit to the media dedup-by-id at
+/root/reference/video_crawler/pixabay/videos/downloader.py:117-167,
+generalized to content similarity).
+
+Numeric determinism: dot products are computed with ``F.zip_with`` +
+``F.aggregate`` — a sequential left-to-right fold, so the summation
+order is fixed (same result every run, any partitioning).  Cosines are
+rounded before they are reported; ranking uses the unrounded value with
+id tie-breaks.
+
+Scale design (100 TB / 10^9 vectors):
+  * brute force is O(|Q|·N) — fine when |Q| is small and the corpus
+    side is scanned once (no shuffle: queries are broadcast);
+  * LSH variant buckets both sides by a `n_planes`-bit sign sketch and
+    joins bucket-to-bucket (equi-join shuffle on a small int key),
+    probing only same-bucket candidates; recall is tunable via
+    multi-probe (hamming-1 neighbor buckets);
+  * near-dup uses a blocking key (caller-supplied, e.g. LSH bucket or a
+    cluster label) so the pairwise explosion is per-block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..xhash import md5_64
+
+
+def _vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows
+    (self-matches excluded).  Queries are broadcast — the corpus is
+    scanned once with no shuffle until the final per-query top-k.
+
+    Returns (query_id, neighbor_id, rank, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vec(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane(dim: int, plane: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1],
+    derived from md5 so any engine/process regenerates the same planes.
+    (Driver-side constant — broadcast as literals into the plan.)"""
+    from ..xhash import md5_64_py
+
+    return [
+        (md5_64_py(f"plane:{seed}:{plane}:{d}") % 2_000_001) / 1_000_000.0 - 1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
+    """Sign-sketch bucket id in [0, 2^n_planes): bit p = 1 iff
+    dot(vec, plane_p) > 0.  Planes are literal arrays (no Python at
+    runtime — the fold runs JVM-side)."""
+    v = _vec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in hyperplane(dim, p, seed)])
+        bit = F.when(dot(v, plane) > 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket (plus, with
+    multiprobe, any hamming-1 neighbor bucket), then exact cosine ranks
+    the bucket.  Returns (query_id, neighbor_id, rank, cosine)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vec(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _vec(vec_col).alias("q_vec"),
+        lsh_bucket(vec_col, dim, n_planes).alias("qb"),
+    )
+    if multiprobe:
+        probes = F.array_union(
+            F.array(F.col("qb")),
+            F.array(*[F.expr(f"qb ^ {1 << p}") for p in range(n_planes)]),
+        )
+    else:
+        probes = F.array(F.col("qb"))
+    q = q.select("query_id", "q_vec", F.explode(probes).alias("bucket"))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        # a neighbor can appear via several probe buckets → keep one
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairwise cosine within blocks (the
+    block column bounds the quadratic — label, LSH bucket, cluster id).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+    """
+    a = vectors.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"), _vec(vec_col).alias("va")
+    )
+    b = vectors.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"), _vec(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,858 @@
+"""Driver-harness query registry: every entry pairs a PySpark
+implementation with an equivalent DuckDB SQL oracle over the driver's
+parquet tables (documents / embeddings / events).
+
+Design rules that make the cross-engine value-hash match exactly:
+  * every hash is ``md5_64`` (xhash.py) — identical in Spark and DuckDB;
+  * ratios are divisions of identical integers → IEEE-identical doubles;
+  * floating sums use sequential folds on both sides (F.aggregate vs
+    list_dot_product) and are rounded before output;
+  * timestamps leave as floor-epoch BIGINTs under an explicit UTC
+    session timezone (DuckDB's ``epoch()::BIGINT`` *rounds* — floor is
+    required);
+  * every aggregate is aliased identically on both sides, counts cast
+    to BIGINT (DuckDB sum(int) is HUGEINT otherwise).
+
+The crawl-family queries derive a deterministic URL frontier from the
+``documents`` table (platform = doc_id % 11 over the 11 reference
+dialects), so the scheduling operators are checked end-to-end against
+an independent SQL re-derivation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canonical import PLATFORMS, with_url_identity
+from .functions import textops as TX
+from .functions.markdown import render_markdown
+from .operators import dedup as DD
+from .operators import events as EV
+from .operators import similarity as SIM
+from .operators.multimodal import decode_media
+from .operators.scheduling import apply_robots, budget_gate, dedup_within_round
+from .operators.seen import build_bloom, filter_unseen
+from .synth import URL_SHAPES
+from .xhash import md5_64, md5_64_sql
+
+# ---------------------------------------------------------------------------
+# Shared derivations (single source of truth for both engines)
+# ---------------------------------------------------------------------------
+
+# article_id = AID_FORM[p][0] || %08d(art) || AID_FORM[p][1]  (from URL_SHAPES)
+AID_FORM: dict[str, tuple[str, str]] = {
+    "toutiao": ("74", ""),
+    "wechat": ("SSg", "abc"),
+    "netease": ("KC", "FH"),
+    "sohu": ("94", ""),
+    "tencent": ("2025", "A07W"),
+    "detik": ("d-", ""),
+    "naver": ("22", ""),
+    "lenny": ("post-", ""),
+    "quora": ("Someone-", ""),
+    "bbc": ("c", "o"),
+    "cnn": ("story-", ""),
+}
+
+def _capacity(p_idx: int) -> int:
+    return 3 + (p_idx % 5) * 2
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- Spark-side frontier from documents -------------------------------------
+
+def doc_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _doc(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("rid")
+    )
+    art = F.when((F.col("rid") % 10 == 7) & (F.col("rid") > 0), F.col("rid") - 1).otherwise(
+        F.col("rid")
+    )
+    df = ids.withColumn("art", art).withColumn("p", (F.col("art") % 11).cast("int"))
+    aid8 = F.format_string("%08d", F.col("art"))
+    url = None
+    for i, plat in enumerate(PLATFORMS):
+        pre, post = URL_SHAPES[plat][1].split("{id}")
+        u = F.concat(F.lit(pre), aid8, F.lit(post))
+        url = F.when(F.col("p") == i, u) if url is None else url.when(F.col("p") == i, u)
+    url = F.when(
+        F.col("rid") % 20 == 3, F.concat(url, F.lit("?log_from=x"), F.col("rid"))
+    ).otherwise(url)
+    return df.select(
+        F.col("rid"),
+        F.col("art"),
+        url.alias("url"),
+        (F.col("rid") % 3).cast("int").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("rid").alias("seq"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+        F.concat(F.lit("seed-"), F.col("rid")).alias("source_seed"),
+    )
+
+
+# -- SQL-side frontier CTE ---------------------------------------------------
+
+def _case(col: str, exprs: list[str]) -> str:
+    arms = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(exprs))
+    return f"CASE {col} {arms} END"
+
+
+def _frontier_cte() -> str:
+    urls, doms, plats, aids = [], [], [], []
+    for plat in PLATFORMS:
+        dom, tmpl = URL_SHAPES[plat]
+        pre, post = tmpl.split("{id}")
+        urls.append(f"'{pre}' || aid8 || '{post}'")
+        doms.append(f"'{dom}'")
+        plats.append(f"'{plat}'")
+        a_pre, a_post = AID_FORM[plat]
+        aid = f"'{a_pre}' || aid8"
+        if a_post:
+            aid += f" || '{a_post}'"
+        aids.append(aid)
+    caps = _case("p", [str(_capacity(i)) for i in range(len(PLATFORMS))])
+    return f"""
+ids AS (SELECT doc_id::BIGINT AS rid FROM documents),
+fr0 AS (SELECT rid,
+               CASE WHEN rid % 10 = 7 AND rid > 0 THEN rid - 1 ELSE rid END AS art
+        FROM ids),
+fr1 AS (SELECT rid, art, (art % 11)::INT AS p, printf('%08d', art) AS aid8 FROM fr0),
+frontier AS (
+  SELECT rid, art, p,
+         {_case('p', urls)}
+           || CASE WHEN rid % 20 = 3 THEN '?log_from=x' || rid ELSE '' END AS url,
+         {_case('p', doms)} AS domain,
+         {_case('p', plats)} AS platform,
+         {_case('p', aids)} AS article_id,
+         {_case('p', plats)} || ':' || {_case('p', aids)} AS canonical_url,
+         (rid % 3)::INT AS priority, 0 AS depth, rid AS seq,
+         {caps} AS capacity
+  FROM fr1)
+"""
+
+
+# -- span synthesis (words of documents.text → interleaved spans) ------------
+
+def doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded span rows: (doc_id, pos, kind, payload) — kind by
+    position (image every 7th at %7==3, video at %13==5, else text);
+    payload = word for text, derived media URL otherwise."""
+    docs = _doc(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    df = docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
+    kind = (
+        F.when(F.col("pos") % 7 == 3, F.lit("image"))
+        .when(F.col("pos") % 13 == 5, F.lit("video"))
+        .otherwise(F.lit("text"))
+    )
+    df = df.withColumn("kind", kind)
+    payload = (
+        F.when(F.col("kind") == "text", F.col("word"))
+        .when(F.col("kind") == "image", F.concat(F.lit("https://img.cc/"), F.col("word"), F.lit(".jpg")))
+        .otherwise(F.concat(F.lit("https://v.cc/"), F.col("word"), F.lit(".mp4")))
+    )
+    return df.select("doc_id", "pos", "kind", payload.alias("payload"))
+
+
+SPANS_CTE = r"""
+wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sp0 AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM wl),
+sp1 AS (SELECT doc_id, pos,
+               CASE WHEN pos % 7 = 3 THEN 'image'
+                    WHEN pos % 13 = 5 THEN 'video'
+                    ELSE 'text' END AS kind, word
+        FROM sp0),
+spans AS (SELECT doc_id, pos, kind,
+                 CASE kind WHEN 'text' THEN word
+                           WHEN 'image' THEN 'https://img.cc/' || word || '.jpg'
+                           ELSE 'https://v.cc/' || word || '.mp4' END AS payload
+          FROM sp1)
+"""
+
+SHINGLE3_CTE = r"""
+wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sg0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i FROM wl WHERE len(ws) >= 3),
+sg1 AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s FROM sg0),
+sh AS (SELECT DISTINCT doc_id, {h} AS sh FROM sg1)
+""".format(h=md5_64_sql("s"))
+
+
+# ---------------------------------------------------------------------------
+# Crawl-family queries
+# ---------------------------------------------------------------------------
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = doc_frontier(spark, sf_dir)
+    out = with_url_identity(fr)
+    return out.select("url", "platform", "article_id", "canonical_url", "domain")
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH {_frontier_cte()}
+SELECT url, platform, article_id, canonical_url, domain FROM frontier
+"""
+
+
+def _identity_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_url_identity(doc_frontier(spark, sf_dir))
+
+
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_within_round(_identity_frontier(spark, sf_dir)).select(
+        "canonical_url", "url", "seq"
+    )
+
+
+SQL_FRONTIER_DEDUP = f"""
+WITH {_frontier_cte()},
+d AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY priority, depth, seq) AS rn
+      FROM frontier)
+SELECT canonical_url, url, seq FROM d WHERE rn = 1
+"""
+
+
+def _seen_table(spark: SparkSession, sf_dir: str, n_buckets: int = 16) -> DataFrame:
+    fr = _identity_frontier(spark, sf_dir)
+    return (
+        fr.filter(F.col("art") % 2 == 0)
+        .select("canonical_url")
+        .distinct()
+        .select(
+            F.xxhash64("canonical_url").alias("url_hash"),
+            F.pmod(F.xxhash64("canonical_url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            "canonical_url",
+            F.lit(0).alias("round_seen"),
+        )
+    )
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact anti-join (J4) vs a seen-set of even article ids —
+    checked against a plain NOT EXISTS in DuckDB (bloom must not change
+    the result, only prune the probe)."""
+    n_buckets, m_bits = 16, 1 << 16
+    cand = dedup_within_round(_identity_frontier(spark, sf_dir))
+    seen = _seen_table(spark, sf_dir, n_buckets)
+    bloom = build_bloom(seen, n_buckets, m_bits)
+    out = filter_unseen(cand, seen, bloom, n_buckets, m_bits)
+    return out.select("canonical_url", "domain", "seq")
+
+
+SQL_SEEN_ANTIJOIN = f"""
+WITH {_frontier_cte()},
+d AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY priority, depth, seq) AS rn
+      FROM frontier),
+cand AS (SELECT * FROM d WHERE rn = 1),
+seen AS (SELECT DISTINCT canonical_url FROM frontier WHERE art % 2 = 0)
+SELECT c.canonical_url, c.domain, c.seq
+FROM cand c WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)
+"""
+
+
+def _budget_tables(spark: SparkSession):
+    from . import schema
+
+    budgets = spark.createDataFrame(
+        [
+            (URL_SHAPES[p][0], _capacity(i), 60, 0.0)
+            for i, p in enumerate(PLATFORMS)
+        ],
+        schema.BUDGETS,
+    )
+    robots = spark.createDataFrame(
+        [(URL_SHAPES[p][0], "/", p != "quora", 0.0) for p in PLATFORMS],
+        schema.ROBOTS,
+    )
+    return budgets, robots
+
+
+def _scheduled(spark: SparkSession, sf_dir: str):
+    """Full one-round scheduling chain: dedup → seen anti-join → robots →
+    budget gate.  Returns (eligible, deferred)."""
+    n_buckets, m_bits = 16, 1 << 16
+    cand = dedup_within_round(_identity_frontier(spark, sf_dir))
+    seen = _seen_table(spark, sf_dir, n_buckets)
+    bloom = build_bloom(seen, n_buckets, m_bits)
+    unseen = filter_unseen(cand, seen, bloom, n_buckets, m_bits)
+    budgets, robots = _budget_tables(spark)
+    allowed, _denied = apply_robots(unseen, robots)
+    return budget_gate(allowed, budgets)
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eligible, _ = _scheduled(spark, sf_dir)
+    return eligible.select("domain", "canonical_url", F.col("rank").cast("int").alias("rank"))
+
+
+_SQL_SCHED_BASE = f"""
+WITH {_frontier_cte()},
+d AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY priority, depth, seq) AS rn
+      FROM frontier),
+cand AS (SELECT * FROM d WHERE rn = 1),
+seen AS (SELECT DISTINCT canonical_url FROM frontier WHERE art % 2 = 0),
+unseen AS (SELECT c.* FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM seen s
+                             WHERE s.canonical_url = c.canonical_url)),
+allowed AS (SELECT * FROM unseen WHERE platform <> 'quora'),
+ranked AS (SELECT *, (row_number() OVER (PARTITION BY domain
+                                         ORDER BY priority, depth, seq))::INT AS rank
+           FROM allowed)
+"""
+
+SQL_POLITENESS_SCHEDULE = (
+    _SQL_SCHED_BASE
+    + "SELECT domain, canonical_url, rank FROM ranked WHERE rank <= capacity"
+)
+
+
+def q_politeness_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, deferred = _scheduled(spark, sf_dir)
+    return deferred.groupBy("domain").agg(F.count("*").alias("n_deferred"))
+
+
+SQL_POLITENESS_DEFERRED = (
+    _SQL_SCHED_BASE
+    + """SELECT domain, count(*)::BIGINT AS n_deferred
+FROM ranked WHERE rank > capacity GROUP BY domain"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Span-family queries (A1/A2/S9 relational forms)
+# ---------------------------------------------------------------------------
+
+def q_span_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = doc_spans(spark, sf_dir)
+    agg = sp.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
+        F.sum(F.when(F.col("kind") == "image", 1).otherwise(0)).alias("n_image"),
+        F.sum(F.when(F.col("kind") == "video", 1).otherwise(0)).alias("n_video"),
+        F.min_by(
+            F.when(F.col("kind") == "image", F.col("payload")),
+            F.when(F.col("kind") == "image", F.col("pos")),
+        ).alias("first_image"),
+    )
+    return agg
+
+
+SQL_SPAN_PROJECTIONS = f"""
+WITH {SPANS_CTE},
+agg AS (SELECT doc_id,
+               sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_text,
+               sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_image,
+               sum(CASE WHEN kind = 'video' THEN 1 ELSE 0 END)::BIGINT AS n_video
+        FROM spans GROUP BY doc_id),
+img AS (SELECT doc_id, arg_min(payload, pos) AS first_image
+        FROM spans WHERE kind = 'image' GROUP BY doc_id)
+SELECT a.doc_id, a.n_text, a.n_image, a.n_video, i.first_image
+FROM agg a LEFT JOIN img i USING (doc_id)
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (first-wins within-doc dedup on (kind, payload)) in its
+    relational form: row_number over posexplode; kept_offsets_sum is
+    order-sensitive so it proves *which* occurrence wins."""
+    from pyspark.sql import Window
+
+    sp = doc_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id", "kind", "payload").orderBy(F.col("pos").asc())
+    marked = sp.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_before"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_after"),
+        F.sum(F.when(F.col("rn") == 1, F.col("pos")).otherwise(0)).alias("kept_offsets_sum"),
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH {SPANS_CTE},
+m AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id, kind, payload ORDER BY pos) AS rn
+      FROM spans)
+SELECT doc_id, count(*)::BIGINT AS n_before,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_after,
+       sum(CASE WHEN rn = 1 THEN pos ELSE 0 END)::BIGINT AS kept_offsets_sum
+FROM m GROUP BY doc_id
+"""
+
+
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 markdown view over the synthesized span documents (pure
+    higher-order functions, no UDF)."""
+    sp = doc_spans(spark, sf_dir)
+    spans = sp.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("kind").alias("kind"),
+                    F.when(F.col("kind") == "text", F.col("payload")).otherwise(F.lit("")).alias("text"),
+                    F.when(F.col("kind") != "text", F.col("payload")).otherwise(F.lit("")).alias("media_ref"),
+                    F.col("pos").cast("int").alias("offset"),
+                )
+            ),
+            # sort by offset (struct field order puts kind first → explicit comparator)
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+            .when(a["offset"] > b["offset"], 1)
+            .otherwise(0),
+        ).alias("spans")
+    )
+    title = F.concat(F.lit("Doc "), F.col("doc_id"))
+    return spans.select(
+        "doc_id", render_markdown(title, F.col("spans")).alias("markdown")
+    )
+
+
+SQL_MARKDOWN_RENDER = f"""
+WITH {SPANS_CTE},
+blocks AS (SELECT doc_id, pos,
+                  CASE kind WHEN 'text' THEN payload
+                            WHEN 'image' THEN '![图片](' || payload || ')'
+                            ELSE '[🎬 视频](' || payload || ')' END AS block
+           FROM spans)
+SELECT doc_id,
+       '# Doc ' || doc_id || e'\n\n' || string_agg(block, e'\n\n' ORDER BY pos) AS markdown
+FROM blocks GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_doc(spark, sf_dir, "documents"))
+
+
+_NORM_TEXT_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+SQL_DEDUP_EXACT = f"""
+WITH n AS (SELECT doc_id,
+                  {md5_64_sql(_NORM_TEXT_SQL)} AS fingerprint
+           FROM documents)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*)::BIGINT AS dup_count
+FROM n GROUP BY fingerprint
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint("text", k=5).alias("fp"))
+
+
+SQL_ROLLING_FINGERPRINT = r"""
+WITH wl AS (SELECT doc_id, trim(text) AS t,
+                   string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sg0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i FROM wl WHERE len(ws) >= 5),
+sg1 AS (SELECT doc_id, array_to_string(list_slice(ws, i + 1, i + 5), ' ') AS s FROM sg0),
+mins AS (SELECT doc_id, min({h}) AS fp FROM sg1 GROUP BY doc_id)
+SELECT w.doc_id, coalesce(m.fp, {ht}) AS fp
+FROM wl w LEFT JOIN mins m USING (doc_id)
+""".replace("{h}", md5_64_sql("s")).replace("{ht}", md5_64_sql("w.t"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(
+        _doc(spark, sf_dir, "documents"), k=3, threshold=0.05
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {SHINGLE3_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+          FROM sh a JOIN sh b USING (sh)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.common, sa.sz AS size_a, sb.sz AS size_b,
+       p.common / (sa.sz + sb.sz - p.common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.05
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_dedup(
+        _doc(spark, sf_dir, "documents"), k=3, n_hashes=16, band_size=2, threshold=0.05
+    )
+
+
+def _sql_minhash() -> str:
+    min_exprs = []
+    for j in range(16):
+        seeded = "s || '#" + str(j) + "'"
+        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
+    mins = ",\n         ".join(min_exprs)
+    keys = ", ".join(
+        md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
+        for b in range(8)
+    )
+    return f"""
+WITH {SHINGLE3_CTE},
+sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+banded AS (SELECT doc_id,
+                  unnest(range(8)) AS band,
+                  unnest([{keys}]) AS key
+           FROM sigs),
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b USING (band, key)
+          WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+          FROM sh a JOIN sh b USING (sh)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       p.common / (sa.sz + sb.sz - p.common) AS jaccard
+FROM cands c
+JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.05
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_table(_doc(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = r"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+h AS (SELECT doc_id, {h} AS wh FROM w),
+votes AS (SELECT doc_id, unnest(range(32)) AS bit, wh FROM h),
+v AS (SELECT doc_id, bit,
+             sum(CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM votes GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+FROM v GROUP BY doc_id
+""".replace("{h}", md5_64_sql("word"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked simhash near-dup (exact for hamming<=3 with 4
+    blocks); oracle is the brute-force all-pairs hamming filter."""
+    return DD.simhash_pairs(
+        _doc(spark, sf_dir, "documents"), max_hamming=3, n_blocks=4
+    )
+
+
+_SQL_SIMHASH_CTES = r"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+h AS (SELECT doc_id, {h} AS wh FROM w),
+votes AS (SELECT doc_id, unnest(range(32)) AS bit, wh FROM h),
+v AS (SELECT doc_id, bit,
+             sum(CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM votes GROUP BY doc_id, bit),
+sims AS (SELECT doc_id,
+                sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+         FROM v GROUP BY doc_id)
+""".replace("{h}", md5_64_sql("word"))
+
+SQL_SIMHASH_PAIRS = (
+    _SQL_SIMHASH_CTES
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").cast("long").alias("n_tokens_ws"),
+        TX.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+        TX.langid("text").alias("lang_guess"),
+    )
+
+
+def _sql_text_stats() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+    vote_cols = []
+    for lang in sorted(TX.LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+        vote_cols.append(
+            f"sum(CASE WHEN lower(word) IN ({markers}) THEN 1 ELSE 0 END) AS v_{lang}"
+        )
+    langs = sorted(TX.LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    pick = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN v_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+WITH wl AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+votes AS (SELECT doc_id, {", ".join(vote_cols)},
+                 sum(CASE WHEN lower(word) IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+          FROM w GROUP BY doc_id),
+base AS (SELECT doc_id, text, len(ws)::BIGINT AS n_tokens_ws,
+                len(regexp_extract_all(text, '{TX.TOKEN_REGEX}'))::BIGINT AS n_tokens_bpe,
+                len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+                len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+         FROM wl)
+SELECT b.doc_id, b.n_tokens_ws, b.n_tokens_bpe,
+       round(CASE WHEN b.n_nonspace > 0 THEN b.n_punct / b.n_nonspace ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN b.n_tokens_ws > 0 THEN v.n_stop / b.n_tokens_ws ELSE 0.0 END, 6) AS stopword_ratio,
+       ((CASE WHEN b.n_tokens_ws BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN (CASE WHEN b.n_tokens_ws > 0 THEN v.n_stop / b.n_tokens_ws ELSE 0.0 END) >= 0.05 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN (CASE WHEN b.n_nonspace > 0 THEN b.n_punct / b.n_nonspace ELSE 0.0 END) <= 0.3 THEN 0.3 ELSE 0.0 END)
+       )::DOUBLE AS quality,
+       {pick} AS lang_guess
+FROM base b JOIN votes v USING (doc_id)
+"""
+
+
+SQL_TEXT_STATS = _sql_text_stats()
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count_ws("text").cast("long")).alias("total_ws_tokens"),
+            F.sum(TX.token_count_bpe("text").cast("long")).alias("total_bpe_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_TOKEN_STATS_BY_SOURCE = rf"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')))::BIGINT AS total_bpe_tokens,
+       round(avg(len(text)), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _doc(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+      FROM q, c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id))::INT AS rank,
+             round(cos_raw, 6) AS cosine
+      FROM s)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path).  No SQL oracle: the sign-sketch
+    bucketing is float-sign-sensitive, so the driver records a rows-only
+    check; recall vs the exact top-k is asserted in tests instead."""
+    emb = _doc(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _doc(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(emb, block_col="label", threshold=0.3)
+
+
+SQL_EMBED_NEARDUP = """
+WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos_raw
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine FROM p WHERE cos_raw >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return decode_media(media)
+
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH m AS (SELECT doc_id, text, {md5_64_sql("text")} AS h FROM documents)
+SELECT doc_id::VARCHAR AS media_id,
+       CASE WHEN len(text) = 0 THEN 0 ELSE octet_length(encode(text)) END::INT AS n_bytes,
+       CASE WHEN len(text) = 0 THEN NULL
+            ELSE (CASE h % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END) END AS format,
+       CASE WHEN len(text) = 0 THEN NULL ELSE (64 + (h // 3) % 1856) END::INT AS width,
+       CASE WHEN len(text) = 0 THEN NULL ELSE (64 + (h // 7) % 1016) END::INT AS height,
+       len(text) > 0 AS ok
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event windows (stream-shaped, batch form)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _doc(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_epoch"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    return out
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_epoch,
+       event_type AS key,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _doc(spark, sf_dir, "events")
+    out = EV.sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+m AS (SELECT *, CASE WHEN prev_ts IS NULL
+                          OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM o),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM m)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS start_epoch,
+       floor(epoch(max(ts)))::BIGINT AS end_epoch
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Apply session.tune() (constraint-propagation off, UTC, Arrow) to
+    the harness-owned session before building the query plan."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .session import tune
+
+        tune(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "url_canonicalize": q_url_canonicalize,
+    "frontier_dedup": q_frontier_dedup,
+    "seen_antijoin": q_seen_antijoin,
+    "politeness_schedule": q_politeness_schedule,
+    "politeness_deferred": q_politeness_deferred,
+    "span_projections": q_span_projections,
+    "span_dedup": q_span_dedup,
+    "markdown_render": q_markdown_render,
+    "dedup_exact": q_dedup_exact,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "text_stats": q_text_stats,
+    "token_stats_by_source": q_token_stats_by_source,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embed_neardup": q_embed_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _tuned(fn) for name, fn in _RAW_QUERIES.items()
+}
+
+ORACLES: dict[str, str] = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "frontier_dedup": SQL_FRONTIER_DEDUP,
+    "seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "politeness_schedule": SQL_POLITENESS_SCHEDULE,
+    "politeness_deferred": SQL_POLITENESS_DEFERRED,
+    "span_projections": SQL_SPAN_PROJECTIONS,
+    "span_dedup": SQL_SPAN_DEDUP,
+    "markdown_render": SQL_MARKDOWN_RENDER,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "text_stats": SQL_TEXT_STATS,
+    "token_stats_by_source": SQL_TOKEN_STATS_BY_SOURCE,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    # ann_lsh_topk: intentionally no oracle (float-sign-sensitive bucketing)
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

@@ -44,10 +44,33 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # deterministic outputs: never let timezone/locale leak into results
         .config("spark.sql.datetime.java8API.enabled", "true")
+        # constraint propagation explodes exponentially on our aliased
+        # 11-branch CASE identity expressions when they become join keys
+        # (3.2 MB optimized plans, minutes of janino time); disabling it
+        # keeps plans ~KB-sized with no semantic change (tune() below has
+        # the measurements)
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-mutable SQL confs to an externally
+    created session (the driver harness owns its own SparkSession).
+
+    constraintPropagation: with it on, composing the url-identity CASE
+    chains (11-platform detect/article-id) into a join key made Catalyst
+    inline aliases into inferred constraints multiplicatively — a 6.7 KB
+    plan became 3.2 MB and one 500-row anti-join took 100+ s of janino
+    compile time.  Off: 14 KB plan, 3.6 s.  No result change (it only
+    prunes an optional inference rule).
+    """
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
