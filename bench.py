@@ -1,0 +1,268 @@
+"""Benchmark entry for the driver: prints ONE JSON line.
+
+  {"metric": ..., "value": <total seconds>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "crawl": {"urls_per_sec": ..., "scaling": {...}}}
+
+Components:
+  * per-query wall time for the headline operators from
+    ``newscrawler_spark.queries`` at $SPARK_GRAFT_SF_DIR
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+  * crawl throughput — URLs scheduled+fetched/sec over a deterministic
+    synthetic web (the BASELINE.json metric), run at local[N] and
+    local[4N] on the same input to evidence the north-rule scaling
+    criterion (no real cluster in this sandbox): efficiency =
+    (throughput_4N / throughput_N) / 4.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_CRAWL_URLS (default 60000), BENCH_SKIP_SCALING=1 to skip the
+second (local[N/4]) crawl run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "url_canonicalize",
+    "politeness_schedule",
+    "span_dedup",
+    "markdown_render",
+    "dedup_exact",
+    "rolling_fingerprint",
+    "jaccard_pairs",
+    "minhash_lsh",
+    "simhash",
+    "text_stats",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embed_neardup",
+    "multimodal_decode",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def _descendants(pid: int) -> list[int]:
+    out, stack = [], [pid]
+    while stack:
+        p = stack.pop()
+        try:
+            with open(f"/proc/{p}/task/{p}/children") as f:
+                kids = [int(c) for c in f.read().split()]
+        except OSError:
+            kids = []
+        out.extend(kids)
+        stack.extend(kids)
+    return out
+
+
+def pin_cpu_budget(cores: int) -> None:
+    """Bound this process AND its tree (JVM, pandas-UDF python workers)
+    to `cores` CPUs — local[N] alone only limits JVM task threads;
+    python UDF workers would silently use extra cores, making an
+    N-vs-4N core comparison unfair to the 4N run.  Workers spawned
+    later inherit the pinned JVM's mask."""
+    mask = set(range(min(cores, os.cpu_count())))
+    os.sched_setaffinity(0, mask)
+    for pid in _descendants(os.getpid()):
+        try:
+            os.sched_setaffinity(pid, mask)
+        except OSError:
+            pass
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from newscrawler_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  query {name}: {n} rows in {out[name]}s", file=sys.stderr)
+    return out
+
+
+def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
+    """Fresh JVM-conf session at local[cores]; returns throughput stats.
+
+    'URLs scheduled+fetched' = fetch_order rows (every scheduled URL
+    reaches fetch+extract in its round).  Two throughputs are reported:
+    total (all rounds incl. rounds 0-1 warmup: session startup and
+    one-time whole-stage-codegen compilation, which is single-threaded
+    and core-count independent) and steady-state (rounds >= 2, the
+    number that scales with cores — on a long 10^10-URL crawl the
+    warmup rounds amortize to nothing).  Partitioning is FIXED (64)
+    regardless of cores so the two scaling runs execute the identical
+    job and produce identical outputs (asserted by the determinism
+    tests).
+    """
+    from newscrawler_spark import synth
+    from newscrawler_spark.plans.crawl_round import RoundConfig
+    from newscrawler_spark.plans.scheduler import crawl, seed_frontier
+    from newscrawler_spark.session import get_spark
+    from newscrawler_spark.sources.catalog import Catalog
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+
+    spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=64)
+    pin_cpu_budget(cores)
+    root = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+    try:
+        cat = Catalog(root)
+        frontier = synth.synth_frontier(spark, n_urls)
+        # fixture setup (untimed): materialize the synthetic web to
+        # parquet so the timed section measures the engine, not the
+        # fixture's HTML generation; also lets the fetch join see real
+        # size stats (shuffle join, not an 80 MB broadcast)
+        pages_path = os.path.join(root, "_pages")
+        synth.synth_pages(spark, n_urls * 4).write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
+        robots = synth.synth_robots(spark)
+        conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
+        t0 = time.time()
+        seed_frontier(cat, frontier)
+        totals = crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
+                       max_rounds=rounds, conf=conf)
+        wall = time.time() - t0
+        scheduled = sum(c["scheduled"] for c in totals.values())
+        docs = sum(c["docs"] for c in totals.values())
+        steady = {r: c for r, c in totals.items() if r >= 2}
+        steady_sched = sum(c["scheduled"] for c in steady.values())
+        steady_wall = sum(c["wall_sec"] for c in steady.values())
+        return {
+            "cores": cores,
+            "urls_scheduled": scheduled,
+            "docs_extracted": docs,
+            "rounds": len(totals),
+            "wall_sec": round(wall, 2),
+            "urls_per_sec": round(scheduled / wall, 1),
+            "steady_urls_per_sec": round(steady_sched / steady_wall, 1)
+            if steady_wall
+            else None,
+            "per_round": {r: c for r, c in totals.items()},
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def run_extract_stage(cores: int, n_pages: int) -> dict:
+    """Scaling probe for the compute-bound core stage: url-identity +
+    span extraction (pandas UDF) over a parquet page fixture.  At
+    10^10-URL scale this stage (plus network fetch) is the overwhelming
+    share of cluster time; the driver-side round orchestration measured
+    in run_crawl amortizes away.  Timed on the second run (the first
+    pays one-time codegen compile, which is single-threaded and
+    identical at any core count)."""
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark import synth
+    from newscrawler_spark.canonical import with_url_identity
+    from newscrawler_spark.functions.extract import extract_udf
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark(f"bench-extract-{cores}", cores=cores, shuffle_partitions=64)
+    pin_cpu_budget(cores)
+    root = tempfile.mkdtemp(prefix=f"bench_extract_{cores}_")
+    try:
+        path = os.path.join(root, "pages")
+        synth.synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+        pages = spark.read.parquet(path).filter("status = 200")
+
+        def once() -> tuple[int, float]:
+            t0 = time.time()
+            idf = with_url_identity(pages, "url")
+            ex = idf.withColumn(
+                "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
+            )
+            n = ex.filter(F.col("ex.error").isNull()).count()
+            return n, time.time() - t0
+
+        # min-of-3: the first iteration pays one-time codegen + C2 JIT
+        # warmup (single-threaded, core-count independent) and local-mode
+        # run-to-run noise is large; the min is the stable capability
+        walls = []
+        n = 0
+        for _ in range(3):
+            n, w = once()
+            walls.append(w)
+        wall = min(walls)
+        return {
+            "cores": cores,
+            "pages": n,
+            "wall_sec": round(wall, 2),
+            "pages_per_sec": round(n / wall, 1),
+            "walls": [round(w, 2) for w in walls],
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("BENCH_CRAWL_URLS", "150000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    t_start = time.time()
+
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=max(8, 2 * cpus))
+    queries = run_queries(spark, sf_dir)
+    spark.stop()
+
+    crawl_big = run_crawl(cpus, n_urls)
+    result = {
+        "metric": "urls_scheduled_fetched_per_sec",
+        "value": round(time.time() - t_start, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": crawl_big,
+    }
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        small_cores = max(2, cpus // 4)
+        n_extract = int(os.environ.get("BENCH_EXTRACT_PAGES", str(n_urls * 10)))
+        ex_big = run_extract_stage(cpus, n_extract)
+        ex_small = run_extract_stage(small_cores, n_extract)
+        result["extract_stage_scaling"] = {
+            "n_cores": small_cores,
+            "n4_cores": cpus,
+            "pages_per_sec_n": ex_small["pages_per_sec"],
+            "pages_per_sec_n4": ex_big["pages_per_sec"],
+            "efficiency": round(
+                (ex_big["pages_per_sec"] / ex_small["pages_per_sec"])
+                / (cpus / small_cores),
+                3,
+            ),
+        }
+        crawl_small = run_crawl(small_cores, n_urls)
+        thr_n, thr_n4 = (
+            crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
+            crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
+        )
+        eff = (thr_n4 / thr_n) / (cpus / small_cores)
+        result["scaling"] = {
+            "n_cores": small_cores,
+            "n4_cores": cpus,
+            "steady_urls_per_sec_n": thr_n,
+            "steady_urls_per_sec_n4": thr_n4,
+            "efficiency": round(eff, 3),
+        }
+    result["value"] = round(time.time() - t_start, 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

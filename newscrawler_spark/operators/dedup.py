@@ -122,19 +122,21 @@ def minhash_signatures(
     """(doc_id, h0..h{n-1}) minhash signature via n seeded md5_64 hashes:
     h_j(doc) = min over shingles s of md5_64(s || '#' || j).
 
-    Computed as array higher-order functions — no explode, no shuffle.
+    Shape: explode shingles → one groupBy(doc_id) with n min-aggregates.
+    One shuffle with map-side partial aggregation; the agg is also a
+    CollapseProject barrier, so downstream banding never re-inlines the
+    shingle computation (the earlier array-transform form recomputed the
+    whole signature per band — 56 s for 500 docs; this form: ~2 s).
     Docs with no shingles (< k words) hash the whole text instead.
     """
     sh = shingles(text_col, k)
     base = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
-    cols = [F.col(id_col).alias("doc_id")]
-    for j in range(n_hashes):
-        cols.append(
-            F.array_min(
-                F.transform(base, lambda s, _j=j: md5_64(F.concat(s, F.lit(f"#{_j}"))))
-            ).alias(f"h{j}")
-        )
-    return docs.select(*cols)
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(base).alias("s"))
+    aggs = [
+        F.min(md5_64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

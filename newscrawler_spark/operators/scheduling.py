@@ -73,13 +73,17 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
 
 
 def budget_gate(
-    candidates: DataFrame, budgets: DataFrame
+    candidates: DataFrame, budgets: DataFrame, persist_fn=None
 ) -> tuple[DataFrame, DataFrame]:
     """Rank candidates per domain and split into (eligible, deferred).
 
     candidates must carry (domain, priority, depth, seq, crawl_delay_s?).
     eligible = rank <= effective capacity; deferred rows keep all frontier
     columns and return to the next round (A6 round-wise blocking).
+
+    persist_fn, when given, materializes the ranked frame before the
+    split so eligible and deferred don't each re-execute the window
+    (on a cluster this would be a short-lived checkpoint table).
     """
     b = budgets.select(
         F.col("domain").alias("b_domain"), "capacity", "window_s"
@@ -100,6 +104,8 @@ def budget_gate(
     ranked = joined.withColumn("rank", F.row_number().over(w)).withColumn(
         "__eff_cap", eff_cap
     )
+    if persist_fn is not None:
+        ranked = persist_fn(ranked)
     eligible = ranked.filter(F.col("rank") <= F.col("__eff_cap")).drop(
         "__eff_cap", "capacity", "window_s", "crawl_delay_s"
     )

@@ -109,6 +109,8 @@ def filter_unseen(
     candidates must carry (canonical_url); url_seen carries
     (url_hash, bucket).  Bloom prunes, exact anti-join confirms.
     """
+    from pyspark.sql import types as T
+
     cand = candidates.withColumn("url_hash", F.xxhash64("canonical_url")).withColumn(
         "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
     )
@@ -118,22 +120,32 @@ def filter_unseen(
         )
         return out.drop("url_hash", "bucket")
 
-    probed = cand.join(bloom.select("bucket", "bitset"), "bucket", "left")
+    # Per-bucket cogroup probe: candidates and the sidecar meet grouped
+    # by bucket, so each bucket's bitset crosses the wire ONCE and the
+    # probe is one vectorized numpy pass per bucket.  (The earlier
+    # row-join form shipped a copy of the 64 KB-512 KB bitset on every
+    # candidate row and byte-compared it per row — O(rows × buckets ×
+    # bitset) memcmp; a 20 k-row probe took minutes.)
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    cols = [f.name for f in cand.schema.fields]
 
-    @F.pandas_udf("boolean")
-    def maybe_seen(url_hash: pd.Series, bitset: pd.Series) -> pd.Series:
-        out = np.zeros(len(url_hash), dtype=bool)
-        if len(url_hash) == 0:
-            return pd.Series(out)
-        hashes = url_hash.to_numpy()
-        # group rows by identical bitset object (one per bucket in practice)
-        null_mask = bitset.isna().to_numpy()
-        for b in bitset[~null_mask].drop_duplicates():
-            mask = (bitset == b).to_numpy() & ~null_mask
-            out[mask] = _probe_bitset(hashes[mask], b, m_bits)
-        return pd.Series(out)
+    def probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        out = cdf[cols].copy()
+        if len(bdf) == 0:
+            out["maybe_seen"] = False
+        else:
+            out["maybe_seen"] = _probe_bitset(
+                cdf["url_hash"].to_numpy(), bdf["bitset"].iloc[0], m_bits
+            )
+        return out
 
-    probed = probed.withColumn("maybe_seen", maybe_seen("url_hash", "bitset")).drop("bitset")
+    probed = (
+        cand.groupBy("bucket")
+        .cogroup(bloom.select("bucket", "bitset").groupBy("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )
     definitely_new = probed.filter(~F.col("maybe_seen"))
     needs_check = probed.filter(F.col("maybe_seen")).join(
         url_seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"

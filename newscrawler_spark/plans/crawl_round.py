@@ -65,6 +65,11 @@ class RoundResult:
     fetch_order: DataFrame
     frontier_next: DataFrame
     counters: dict  # filled by the scheduler after actions run
+    persisted: list = None  # frames to unpersist after the round commits
+
+    def unpersist(self) -> None:
+        for df in self.persisted or []:
+            df.unpersist()
 
 
 def run_round(
@@ -79,42 +84,55 @@ def run_round(
 ) -> RoundResult:
     spark = frontier.sparkSession
 
+    # The round's outputs (docs, seen, quarantine, order, next frontier)
+    # all fan out of a few pivotal frames; without materialization each
+    # delta write re-executes the whole chain (measured 5x fetch+extract
+    # per round).  In the sandbox we persist those frames; on a cluster
+    # the same seam would checkpoint them as short-lived catalog tables.
+    persisted: list = []
+
+    def _p(df: DataFrame) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
+
     # 1-2. identity + within-round dedup
     cand = with_url_identity(frontier)
     cand = dedup_within_round(cand)
 
+    # 3. seen-set anti-join (bloom prune + exact) over ALL candidates —
+    # one probe pass; the supported/unsupported split happens after
+    # (splitting first would run the cogroup probe twice)
+    if url_seen is not None:
+        cand = filter_unseen(cand, url_seen, bloom, conf.n_buckets, conf.m_bits)
+    cand = _p(cand)
+
     # unsupported-platform rows are terminal (extractor has no dialect —
     # mirrors detect_platform → None → error, extractor.py:56-73)
-    supported = cand.filter(F.col("platform").isNotNull())
+    new = cand.filter(F.col("platform").isNotNull())
     unsupported = cand.filter(F.col("platform").isNull())
-
-    # 3. seen-set anti-join (bloom prune + exact)
-    if url_seen is not None:
-        new = filter_unseen(supported, url_seen, bloom, conf.n_buckets, conf.m_bits)
-        # unsupported rows also only quarantine once
-        unsupported = filter_unseen(
-            unsupported, url_seen, bloom, conf.n_buckets, conf.m_bits
-        )
-    else:
-        new = supported
 
     # 4. robots gate
     allowed, denied = apply_robots(new, robots)
 
-    # 5. budget gate → (eligible, deferred)
-    eligible, deferred = budget_gate(allowed, budgets)
+    # 5. budget gate → (eligible, deferred); ranked frame materialized
+    eligible, deferred = budget_gate(allowed, budgets, persist_fn=_p)
 
     # 6. skew-aware repartition, then fetch + extract
     eligible = salt_domains(eligible, conf.n_partitions, conf.salt_factor)
-    fetched = fetcher.fetch(eligible)
+    fetched = _p(fetcher.fetch(eligible))
 
     ok = fetched.filter(F.col("status") == 200)
     failed = fetched.filter(F.col("status") != 200)
 
     from ..functions.extract import extract_udf
 
-    extracted = ok.withColumn(
-        "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
+    extracted = _p(
+        ok.withColumn(
+            "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
+        ).drop("html")
     )
     valid = extracted.filter(
         F.col("ex.error").isNull()
@@ -234,4 +252,5 @@ def run_round(
         fetch_order=fetch_order,
         frontier_next=frontier_next,
         counters={},
+        persisted=persisted,
     )

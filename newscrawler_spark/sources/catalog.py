@@ -67,10 +67,18 @@ class Catalog:
     def write_delta(self, df: DataFrame, table: str, round_no: int) -> int:
         """Write one round's delta; returns row count.  Overwrite is safe:
         an uncommitted round's partial delta is simply rewritten on retry
-        (the manifest hasn't advanced)."""
-        n = df.count()
-        df.write.mode("overwrite").parquet(self.delta_path(table, round_no))
-        return n
+        (the manifest hasn't advanced).  The count rides on the write
+        itself via an Observation — one job, no second execution of the
+        lineage and no extra footer-scan job."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        path = self.delta_path(table, round_no)
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return int(obs.get["n"])
 
     def read_table(
         self, spark: SparkSession, table: str, upto_round: int | None = None

@@ -58,6 +58,17 @@ def _mix(col: F.Column, salt: int, mod: int) -> F.Column:
     return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(mod))
 
 
+def _url_for(art: F.Column, seed: int) -> F.Column:
+    """Platform-shaped URL for an article id (platform by weighted slot)."""
+    platform = _platform_expr(_mix(art, seed, 100))
+    url = None
+    for p, (_dom, tmpl) in URL_SHAPES.items():
+        pre, post = tmpl.split("{id}")
+        u = F.concat(F.lit(pre), F.format_string("%08d", art), F.lit(post))
+        url = F.when(platform == p, u) if url is None else url.when(platform == p, u)
+    return url
+
+
 def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Seed frontier of n rows (round 0, depth 0).
 
@@ -68,14 +79,8 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     # duplicate groups: 10% of rows point at the previous row's article
     art = F.when(_mix(F.col("rid"), seed + 1, 10) == 0, F.col("rid") - 1).otherwise(F.col("rid"))
     art = F.greatest(art, F.lit(0))
-    slot = _mix(art, seed, 100)
-    platform = _platform_expr(slot)
-
-    url = None
-    for p, (_dom, tmpl) in URL_SHAPES.items():
-        pre, post = tmpl.split("{id}")
-        u = F.concat(F.lit(pre), F.format_string("%08d", art), F.lit(post))
-        url = F.when(platform == p, u) if url is None else url.when(platform == p, u)
+    platform = _platform_expr(_mix(art, seed, 100))
+    url = _url_for(art, seed)
     # 5% get query-string noise that canonicalization must strip
     noisy = _mix(F.col("rid"), seed + 2, 20) == 0
     url = F.when(noisy, F.concat(url, F.lit("?log_from=abc123_"), F.col("rid"))).otherwise(url)
@@ -101,8 +106,13 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _paras(art: F.Column, seed: int, fmt: str) -> F.Column:
-    """2-5 deterministic paragraphs; fmt has two %s-style slots (i, art)."""
-    n_paras = (_mix(art, seed + 10, 4) + 2).cast("int")
+    """6-17 deterministic paragraphs; fmt has two %s-style slots (i, art).
+
+    Sized so a synthetic page costs roughly what a real news page costs
+    to parse (a 2-paragraph page would make the bench's extract stage
+    unrealistically cheap).
+    """
+    n_paras = (_mix(art, seed + 10, 12) + 6).cast("int")
     return F.aggregate(
         F.sequence(F.lit(1), n_paras),
         F.lit(""),
@@ -110,7 +120,13 @@ def _paras(art: F.Column, seed: int, fmt: str) -> F.Column:
     )
 
 
-_P = "<p>Paragraph %s of article %08d with deterministic body text.</p>"
+_BODY = (
+    "Paragraph %s of article %08d with deterministic body text, a second "
+    "sentence that pads the paragraph to something closer to real article "
+    "prose, and a third clause mentioning dates, places and names so the "
+    "parser walks a realistic amount of character data."
+)
+_P = "<p>" + _BODY + "</p>"
 
 
 def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
@@ -193,7 +209,7 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
             art, day, F.pmod(art, F.lit(97)),
         ),
         F.lit('<div class="content-article">'),
-        _paras(art, seed, '<p class="one-p">Paragraph %s of article %08d with deterministic body text.</p>'),
+        _paras(art, seed, '<p class="one-p">' + _BODY + "</p>"),
         F.format_string('<img src="%s"/>', img),
         F.lit("</div></body></html>"),
     )
@@ -214,7 +230,7 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.format_string("<html><body><h1>Title %08d</h1>", art),
         F.format_string('<div class="byline__names">By Author %04d</div>', F.pmod(art, F.lit(977))),
         F.lit("<main>"),
-        _paras(art, seed, '<p class="paragraph">Paragraph %s of article %08d with deterministic body text.</p>'),
+        _paras(art, seed, '<p class="paragraph">' + _BODY + "</p>"),
         F.format_string('<picture><img src="%s"/></picture>', img),
         F.lit("</main></body></html>"),
     )
@@ -233,7 +249,7 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.format_string('<html><body><div class="se-title-text">Title %08d</div>', art),
         F.format_string('<span class="nick">Blogger %04d</span>', F.pmod(art, F.lit(977))),
         F.lit('<div class="se-main-container"><div class="se-component se-text">'),
-        _paras(art, seed, '<p class="se-text-paragraph">Paragraph %s of article %08d with deterministic body text.</p>'),
+        _paras(art, seed, '<p class="se-text-paragraph">' + _BODY + "</p>"),
         F.lit('</div><div class="se-component se-image">'),
         F.format_string('<img src="%s"/>', img),
         F.lit("</div></div></body></html>"),
@@ -285,13 +301,8 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) ->
     """
     df = spark.range(n).withColumnRenamed("id", "rid")
     art = F.col("rid")
-    slot = _mix(art, seed, 100)
-    platform = _platform_expr(slot)
-    url = None
-    for p, (_dom, tmpl) in URL_SHAPES.items():
-        pre, post = tmpl.split("{id}")
-        u = F.concat(F.lit(pre), F.format_string("%08d", art), F.lit(post))
-        url = F.when(platform == p, u) if url is None else url.when(platform == p, u)
+    platform = _platform_expr(_mix(art, seed, 100))
+    url = _url_for(art, seed)
 
     status = (
         F.when(_mix(art, seed + 20, 50) == 0, F.lit(500))
@@ -303,15 +314,16 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) ->
     for p, h in html_by_platform.items():
         html = F.when(platform == p, h) if html is None else html.when(platform == p, h)
 
-    # out-links: children 2*id+1.. (tree-ish growth) mod n, as toutiao URLs
+    # out-links: children 2*id+1.. (tree-ish growth) mod n — the web is
+    # CLOSED (every discovered URL exists in the table).  Each link is
+    # platform-shaped for its target id so discovered URLs spread over
+    # all domains (a single-domain frontier would serialize the
+    # per-domain rank window — the mega-host case deferral bounds)
     link_ids = F.transform(
         F.sequence(F.lit(1), F.lit(fanout)),
-        lambda i: F.pmod(art * 2 + i * 7 + 1, F.lit(n * 4)),
+        lambda i: F.pmod(art * 2 + i * 7 + 1, F.lit(n)),
     )
-    pre, post = URL_SHAPES["toutiao"][1].split("{id}")
-    out_links = F.transform(
-        link_ids, lambda lid: F.concat(F.lit(pre), F.format_string("%08d", lid), F.lit(post))
-    )
+    out_links = F.transform(link_ids, lambda lid: _url_for(lid, seed))
     return df.select(
         url.alias("url"),
         status.cast("int").alias("status"),

@@ -1,0 +1,164 @@
+"""Tests for the training-data pipeline operators (dedup family,
+similarity search, text analysis, multimodal plumbing, event windows).
+
+The driver's oracle harness already checks these against DuckDB on the
+real sf tables; here we test the *semantics* on crafted inputs where
+the right answer is known by construction (near-dups are planted, LSH
+recall is measured against the exact top-k, etc.)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.functions import textops as TX
+from newscrawler_spark.functions.markdown import render_markdown
+from newscrawler_spark.operators import dedup as DD
+from newscrawler_spark.operators import similarity as SIM
+from newscrawler_spark.operators.events import sessionize
+from newscrawler_spark.operators.multimodal import decode_media, decode_fake
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while a crawler "
+    "collects interleaved spans of text and media for a corpus"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy dog", "sleepy cat")),  # near-dup of 0
+        (3, "completely different content about spark query planning and shuffles"),
+        (4, "short text"),
+        (5, BASE + " with a small suffix appended at the end of the document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs).collect()
+    by_fp = {r.fingerprint: r for r in out}
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup = [r for r in out if r.dup_count == 2]
+    assert len(dup) == 1 and dup[0].doc_id == 0  # min id wins
+
+
+def test_jaccard_pairs_finds_planted_neardups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in DD.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0      # exact dup
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert not any({a, b} == {0, 3} for a, b in pairs)    # unrelated
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    exact = {(r.doc_a, r.doc_b) for r in DD.jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in DD.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    # LSH candidates are a subset; at jaccard >= 0.8 they must all be found
+    strong = {(r.doc_a, r.doc_b) for r in DD.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= exact
+    assert strong <= lsh
+
+
+def test_simhash_pairs_low_hamming_for_neardups(docs):
+    t = {r.doc_id: r.simhash for r in DD.simhash_table(docs).collect()}
+    assert t[0] == t[1]  # identical text -> identical simhash
+    ham02 = bin(t[0] ^ t[2]).count("1")
+    ham03 = bin(t[0] ^ t[3]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    import math
+
+    # deterministic pseudo-random 16-dim vectors
+    n, dim = 400, 16
+    rows = []
+    for i in range(n):
+        vec = [math.sin(i * 31 + d * 7) for d in range(dim)]
+        rows.append((i, vec, i % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    approx = SIM.lsh_topk(emb, queries, dim=dim, k=10, n_planes=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # exact top-1 must be symmetric-rank-consistent: rank 1 has max cosine
+    top = exact.filter(F.col("rank") == 1).collect()
+    assert len(top) == 5
+
+
+def test_textops_quality_and_langid(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran to the park with a ball"),
+        (1, "der hund ist nicht ein kater und das haus ist nicht klein"),
+        (2, "!!! ??? *** ### $$$"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        TX.langid("text").alias("lang"),
+        TX.quality_score("text").alias("q"),
+        TX.token_count_ws("text").alias("nt"),
+    ).collect()}
+    assert out[0].lang == "en" and out[0].q == 1.0
+    assert out[1].lang == "de"
+    assert out[2].lang == "und" and out[2].q < 0.5
+    assert out[0].nt == 16
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    # same 5-gram window set → same winnowing fingerprint even with
+    # extra words appended (min over shared shingles usually survives)
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(0, a), (1, a + " iota"), (2, "unrelated words entirely here now")],
+                               "doc_id long, text string")
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", TX.rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp[0] == fp[1]  # appended word doesn't change the min shingle hash here
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame([(str(i), f"payload-{i}".encode()) for i in range(10)] + [("e", b"")],
+                               "media_id string, payload binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert len(out) == 11
+    assert out["e"].ok is False and out["e"].n_bytes == 0
+    ref = decode_fake(b"payload-3")
+    got = out["3"]
+    assert (got.n_bytes, got.format, got.width, got.height) == (
+        ref["n_bytes"], ref["format"], ref["width"], ref["height"])
+    assert all(64 <= r.width < 1920 for r in out.values() if r.ok)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "a", 1.0, "{}"),   # same session
+        (3, "2024-01-01 11:30:00", 7, "a", 1.0, "{}"),   # gap > 30min -> new
+        (4, "2024-01-01 10:05:00", 8, "a", 1.0, "{}"),   # other user
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double, props string") \
+              .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()}
+    assert out == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
+
+
+def test_markdown_render(spark):
+    spans = [
+        {"kind": "text", "text": "Hello world.", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "https://img.cc/x.jpg", "offset": 1},
+        {"kind": "video", "text": "", "media_ref": "https://v.cc/y.mp4", "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        [("d1", "T", spans)],
+        "doc_id string, title string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    md = df.select(render_markdown("title", "spans").alias("md")).head().md
+    assert md == "# T\n\nHello world.\n\n![图片](https://img.cc/x.jpg)\n\n[🎬 视频](https://v.cc/y.mp4)"
