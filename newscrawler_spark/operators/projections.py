@@ -1,0 +1,99 @@
+"""A2 — derived flat projections and fetch-config columns.
+
+Reference semantics (studied, not ported):
+  * texts/images/videos lists derived from contents by type filter —
+    /root/reference/news_crawler/core/models.py:78-94; computed views,
+    never stored (model_post_init recomputes on construction);
+  * per-platform fetch config (headers model, impersonation browser,
+    two-phase hints) bound as crawler class attributes —
+    /root/reference/news_crawler/core/base.py:24-29, impersonate set at
+    wechat_news.py:506-509 / bbc_news.py:76-79 etc.; header bootstrap
+    cache at libs/playwright_driver.py:26-27,56-58 (600 s TTL per host)
+    → here a broadcast platform-config table joined onto the frontier
+    (J2 broadcast registry lookup), refreshed between crawl rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..canonical import PLATFORMS
+
+# platform -> (impersonate, user_agent) — the engine's equivalent of the
+# reference's per-crawler fetcher class attributes.  'requests' = plain
+# fetcher (S1), anything else = curl_cffi impersonation target (S2).
+PLATFORM_FETCH_CONFIG: dict[str, tuple[str, str]] = {
+    "toutiao": ("requests", "Mozilla/5.0 (X11; Linux x86_64)"),
+    "wechat": ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"),
+    "netease": ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"),
+    "sohu": ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"),
+    "tencent": ("chrome", "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"),
+    "detik": ("requests", "Mozilla/5.0 (X11; Linux x86_64)"),
+    "naver": ("requests", "Mozilla/5.0 (X11; Linux x86_64)"),
+    "lenny": ("requests", "Mozilla/5.0 (X11; Linux x86_64)"),
+    "quora": ("requests", "Mozilla/5.0 (X11; Linux x86_64)"),
+    "bbc": ("chrome", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"),
+    "cnn": ("chrome", "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"),
+}
+
+
+def platform_config_df(spark) -> DataFrame:
+    """The 11-row broadcast registry (J2)."""
+    rows = [
+        (p, PLATFORM_FETCH_CONFIG[p][0], PLATFORM_FETCH_CONFIG[p][1])
+        for p in PLATFORMS
+    ]
+    return spark.createDataFrame(rows, "platform string, impersonate string, user_agent string")
+
+
+def with_fetch_config(frontier: DataFrame, config: DataFrame) -> DataFrame:
+    """Broadcast-join fetch config onto frontier rows; unmatched
+    platforms fall back to the plain fetcher.  Adds a `headers` map
+    column (RequestHeaders shape, core/models.py:18-36)."""
+    cfg = config.select(
+        F.col("platform").alias("cf_platform"), "impersonate", "user_agent"
+    )
+    out = frontier.join(
+        F.broadcast(cfg), frontier["platform"] == cfg["cf_platform"], "left"
+    ).drop("cf_platform")
+    return out.withColumn(
+        "impersonate", F.coalesce(F.col("impersonate"), F.lit("requests"))
+    ).withColumn(
+        "headers",
+        F.create_map(
+            F.lit("User-Agent"),
+            F.coalesce(F.col("user_agent"), F.lit("Mozilla/5.0")),
+            F.lit("Accept-Language"),
+            F.lit("en-US,en;q=0.9"),
+        ),
+    ).drop("user_agent")
+
+
+def with_flat_projections(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """texts / images / videos derived lists (A2) — computed views over
+    the spans array, offset order preserved; never stored."""
+    s = F.col(spans_col)
+
+    def flat(kind: str, field: str):
+        return F.transform(F.filter(s, _kind_pred(kind)), _field_getter(field))
+
+    return (
+        docs.withColumn("texts", flat("text", "text"))
+        .withColumn("images", flat("image", "media_ref"))
+        .withColumn("videos", flat("video", "media_ref"))
+    )
+
+
+def _kind_pred(kind: str):
+    def pred(x):
+        return x["kind"] == kind
+
+    return pred
+
+
+def _field_getter(field: str):
+    def get(x):
+        return x[field]
+
+    return get

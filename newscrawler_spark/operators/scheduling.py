@@ -115,6 +115,38 @@ def budget_gate(
     return eligible, deferred
 
 
+def budget_accounting(
+    budgets: DataFrame, scheduled: DataFrame, round_no: int, window_s_default: int = 60
+) -> DataFrame:
+    """A4 — fold the round's consumption back into the budget table
+    (the reference mutates APIKeyPool state per response,
+    /root/reference/video_crawler/pixabay/common/base.py:64-79,115-127;
+    the engine folds it per round — same arithmetic, batched).
+
+    scheduled: rows with a `domain` column (the round's fetch_order).
+    Returns the budgets table with (used, remaining, reset_ts) updated:
+    remaining = max(0, capacity - used); reset_ts advances one window
+    per round (round-wise time, deterministic — no wall clock).
+    """
+    used = scheduled.groupBy("domain").agg(F.count("*").alias("used"))
+    out = budgets.join(used, "domain", "left").withColumn(
+        "used", F.coalesce(F.col("used"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        "domain",
+        "capacity",
+        "window_s",
+        "used",
+        F.greatest(F.lit(0).cast("long"), F.col("capacity") - F.col("used")).alias(
+            "remaining"
+        ),
+        (
+            (F.lit(round_no + 1))
+            * F.coalesce(F.col("window_s"), F.lit(window_s_default)).cast("double")
+        ).alias("reset_ts"),
+    )
+
+
 def salt_domains(df: DataFrame, n_partitions: int, salt_factor: int = 8) -> DataFrame:
     """Repartition by (domain, salt) ahead of the fetch stage so a
     mega-host's rows spread over `salt_factor` partitions instead of

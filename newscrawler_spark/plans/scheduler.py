@@ -104,6 +104,32 @@ def crawl(
             "frontier_next": n_next,
             "wall_sec": round(_time.time() - t_round, 3),
         }
+        # A3/A4: per-round metrics row + budget accounting delta (the
+        # reference's batch success/fail counters and APIKeyPool folds,
+        # round-wise — see operators.scheduling.budget_accounting)
+        from pyspark.sql import functions as F
+
+        from ..operators.scheduling import budget_accounting
+
+        metrics_row = spark.createDataFrame(
+            [
+                (
+                    round_no,
+                    n_order,
+                    n_docs,
+                    n_quar,
+                    n_seen,
+                    n_next,
+                )
+            ],
+            "round int, scheduled long, docs long, quarantined long, "
+            "new_seen long, frontier_next long",
+        )
+        catalog.write_delta(metrics_row, "metrics", round_no)
+        order_delta = spark.read.parquet(catalog.delta_path("fetch_order", round_no))
+        catalog.write_delta(
+            budget_accounting(budgets, order_delta, round_no), "budget_state", round_no
+        )
         catalog.commit_round(round_no, counters)
         result.unpersist()
         totals[round_no] = counters

@@ -1,0 +1,107 @@
+"""Streaming surface tests: AvailableNow windowed metrics over docs
+deltas, and the foreachBatch seed-stream bridge producing the same
+results as the plain batch crawl."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark import synth
+from newscrawler_spark.plans.crawl_round import RoundConfig
+from newscrawler_spark.plans.scheduler import crawl, seed_frontier
+from newscrawler_spark.sources.catalog import Catalog
+from newscrawler_spark.sources.fetch import FixtureFetcher
+from newscrawler_spark.streaming.stream import (
+    run_doc_metrics_available_now,
+    stream_docs,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def crawled(spark):
+    root = tempfile.mkdtemp()
+    cat = Catalog(root)
+    seed_frontier(cat, synth.synth_frontier(spark, N))
+    crawl(
+        spark,
+        cat,
+        FixtureFetcher(synth.synth_pages(spark, N)),
+        synth.synth_budgets(spark, 40),
+        synth.synth_robots(spark),
+        max_rounds=2,
+        conf=RoundConfig(n_partitions=4),
+    )
+    return cat
+
+
+def test_doc_metrics_available_now(spark, crawled):
+    out = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    run_doc_metrics_available_now(spark, crawled, out, ckpt)
+    got = spark.read.parquet(out)
+    docs = crawled.read_table(spark, "docs")
+    last_round = docs.agg(F.max("round")).head()[0]
+    # append-mode watermarking finalizes a round's window once a later
+    # round arrives → the stream reports all rounds except the newest
+    batch = (
+        docs.filter(F.col("round") < last_round)
+        .groupBy("round", "platform")
+        .agg(F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans"))
+    )
+    g = {(r.round_window, r.platform): (r.docs, r.spans) for r in got.collect()}
+    b = {(r.round, r.platform): (r.docs, r.spans) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_metrics_and_budget_state_tables(spark, crawled):
+    m = crawled.read_table(spark, "metrics")
+    rows = {r.round: r for r in m.collect()}
+    assert set(rows) == {0, 1}
+    order = crawled.read_table(spark, "fetch_order")
+    assert rows[0].scheduled == order.filter("round = 0").count()
+    b = crawled.read_table(spark, "budget_state")
+    r0 = {r.domain: r for r in b.filter("reset_ts = 60.0").collect()}
+    used0 = {
+        r.domain: r["count"]
+        for r in order.filter("round = 0").groupBy("domain").count().collect()
+    }
+    for dom, row in r0.items():
+        assert row.used == used0.get(dom, 0)
+        assert row.remaining == max(0, row.capacity - row.used)
+
+
+def test_seed_stream_foreachbatch_matches_batch(spark):
+    import tempfile
+
+    from newscrawler_spark.streaming.stream import crawl_from_seed_stream
+
+    seeds = synth.synth_frontier(spark, 150)
+    seed_dir = tempfile.mkdtemp() + "/seeds"
+    seeds.write.parquet(seed_dir)
+
+    # batch ground truth
+    b_root = Catalog(tempfile.mkdtemp())
+    seed_frontier(b_root, seeds)
+    crawl(spark, b_root, FixtureFetcher(synth.synth_pages(spark, 150)),
+          synth.synth_budgets(spark, 40), synth.synth_robots(spark),
+          max_rounds=3, conf=RoundConfig(n_partitions=4))
+
+    # streaming bridge
+    s_root = Catalog(tempfile.mkdtemp())
+    stream = spark.readStream.schema(seeds.schema).parquet(seed_dir)
+    q = crawl_from_seed_stream(
+        spark, stream, s_root, FixtureFetcher(synth.synth_pages(spark, 150)),
+        synth.synth_budgets(spark, 40), synth.synth_robots(spark),
+        checkpoint=tempfile.mkdtemp() + "/ckpt",
+        max_rounds_per_batch=3, conf=RoundConfig(n_partitions=4),
+    )
+    q.awaitTermination()
+
+    a = sorted(map(str, b_root.read_table(spark, "docs").collect()))
+    b = sorted(map(str, s_root.read_table(spark, "docs").collect()))
+    assert a == b and len(a) > 0

@@ -162,3 +162,34 @@ def test_markdown_render(spark):
     )
     md = df.select(render_markdown("title", "spans").alias("md")).head().md
     assert md == "# T\n\nHello world.\n\n![图片](https://img.cc/x.jpg)\n\n[🎬 视频](https://v.cc/y.mp4)"
+
+
+def test_flat_projections_and_fetch_config(spark):
+    from newscrawler_spark.operators.projections import (
+        platform_config_df,
+        with_fetch_config,
+        with_flat_projections,
+    )
+
+    spans = [
+        {"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "i1", "offset": 1},
+        {"kind": "text", "text": "b", "media_ref": "", "offset": 2},
+        {"kind": "video", "text": "", "media_ref": "v1", "offset": 3},
+    ]
+    docs = spark.createDataFrame(
+        [("d", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    row = with_flat_projections(docs).head()
+    assert row.texts == ["a", "b"] and row.images == ["i1"] and row.videos == ["v1"]
+
+    frontier = spark.createDataFrame(
+        [("https://mp.weixin.qq.com/s/SSGx", "wechat"), ("https://x.test/a", None)],
+        "url string, platform string",
+    )
+    cfg = with_fetch_config(frontier, platform_config_df(spark)).collect()
+    by_url = {r.url: r for r in cfg}
+    assert by_url["https://mp.weixin.qq.com/s/SSGx"].impersonate == "chrome"
+    assert by_url["https://x.test/a"].impersonate == "requests"
+    assert by_url["https://x.test/a"].headers["User-Agent"] == "Mozilla/5.0"
