@@ -127,19 +127,22 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle strings (array<string>); empty array if < k words."""
+    """Word k-gram shingle strings (array<string>); empty array if < k words.
+
+    Built as a fold of ``zip_with`` over k shifted slices — O(k)
+    references to the words array.  (An index-transform with
+    ``element_at`` caused the split() to be re-evaluated per element
+    access after CollapseProject inlining: ~150 splits/row, 25x slower.)
+    """
     ws = words(col)
     n = F.size(ws)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(
-        n >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    cnt = n - (k - 1)
+    acc = F.slice(ws, 1, cnt)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(ws, j + 1, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, acc).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_fingerprint(col: Column | str, k: int = 5) -> Column:

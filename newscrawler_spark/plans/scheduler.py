@@ -126,9 +126,10 @@ def crawl(
             "new_seen long, frontier_next long",
         )
         catalog.write_delta(metrics_row, "metrics", round_no)
-        order_delta = spark.read.parquet(catalog.delta_path("fetch_order", round_no))
         catalog.write_delta(
-            budget_accounting(budgets, order_delta, round_no), "budget_state", round_no
+            budget_accounting(budgets, result.fetch_order, round_no),
+            "budget_state",
+            round_no,
         )
         catalog.commit_round(round_no, counters)
         result.unpersist()

@@ -79,11 +79,16 @@ class HttpFetcher:
             session = requests.Session()
             for pdf in batches:
                 statuses, htmls, attempts = [], [], []
-                for url in pdf["url"]:
+                # per-row header maps from with_fetch_config (S4/J2); the
+                # `impersonate` column targets a curl_cffi-backed fetcher
+                # (S2) on deployments that ship it — requests ignores it
+                hdr_col = pdf["headers"] if "headers" in pdf.columns else None
+                for i, url in enumerate(pdf["url"]):
+                    headers = dict(hdr_col.iloc[i]) if hdr_col is not None and hdr_col.iloc[i] is not None else None
                     status, html, n = 0, None, 0
                     for n in range(1, max_attempts + 1):
                         try:
-                            resp = session.get(url, timeout=timeout_s)
+                            resp = session.get(url, timeout=timeout_s, headers=headers)
                             status = resp.status_code
                             if status == 200:
                                 html = resp.text
