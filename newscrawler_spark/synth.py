@@ -359,3 +359,39 @@ def synth_robots(spark: SparkSession) -> DataFrame:
         delay = 2.0 if p == "naver" else 0.0
         rows.append((dom, "/", allow, delay))
     return spark.createDataFrame(rows, schema.ROBOTS)
+
+
+def synth_api_pages(
+    spark: SparkSession, keywords: list[str], per_page: int = 4, seed: int = 42
+) -> DataFrame:
+    """Deterministic paginated search-API fixture for the video-side
+    sweep (pixabay VideoSearchResponse shape, video_crawler/pixabay/
+    common/schemas.py:50-60): per keyword, `total_hits` in [3, 18] and
+    ceil(total/per_page) pages of hits; some media ids are shared
+    across keywords (exercises A7 cross-keyword dedup)."""
+    kw = spark.createDataFrame([(k,) for k in keywords], "keyword string")
+    total = (_mix(F.xxhash64("keyword"), seed + 30, 16) + 3).cast("int")
+    n_pages = F.ceil(total / per_page).cast("int")
+    pages = kw.select(
+        "keyword", total.alias("total_hits"), F.explode(F.sequence(F.lit(1), n_pages)).alias("page")
+    )
+    start = (F.col("page") - 1) * per_page
+    count_on_page = F.least(F.lit(per_page), F.col("total_hits") - start)
+    idx = F.sequence(F.lit(0), count_on_page - 1)
+    hits = F.transform(
+        idx,
+        lambda i: F.struct(
+            # ~1/3 of hits collide onto a shared global id pool
+            F.when(
+                _mix(F.xxhash64("keyword") + start + i, seed + 31, 3) == 0,
+                F.concat(F.lit("shared-"), F.pmod(F.xxhash64("keyword") + start + i, F.lit(7))),
+            )
+            .otherwise(F.concat(F.col("keyword"), F.lit("-m"), start + i))
+            .alias("media_id"),
+            F.concat(F.lit("https://v.cc/"), F.col("keyword"), F.lit("/"), (start + i)).alias(
+                "media_url"
+            ),
+            (_mix(F.xxhash64("keyword") + start + i, seed + 32, 100000)).cast("int").alias("views"),
+        ),
+    )
+    return pages.select("keyword", "page", hits.alias("hits"), "total_hits")

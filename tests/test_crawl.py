@@ -125,3 +125,45 @@ def test_kill_and_resume_bit_identical(spark, world, engine_result, tmp_path_fac
     a = engine_result.read_table(spark, "docs")
     b = cat2.read_table(spark, "docs")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_search_sweep_caps_and_dedup(spark):
+    """Video-side sweep: per-keyword cap (A5), pagination bounds (L1/L2),
+    cross-keyword media dedup (A7) — checked against a python
+    re-derivation of the same fixture."""
+    from newscrawler_spark.plans.search_sweep import search_sweep
+    from newscrawler_spark.synth import synth_api_pages
+
+    kws = ["cat", "dog", "spark", "news"]
+    api = synth_api_pages(spark, kws, per_page=4).cache()
+    out = search_sweep(
+        spark.createDataFrame([(k,) for k in kws], "keyword string"),
+        api, max_per_keyword=6, per_page=4,
+    ).collect()
+
+    # python oracle from the same fixture
+    fixture = {}
+    for r in api.collect():
+        fixture.setdefault(r.keyword, {})[r.page] = (r.total_hits, list(r.hits))
+    expect = []
+    for k in sorted(fixture):
+        yielded = 0
+        for page in sorted(fixture[k]):
+            total, hits = fixture[k][page]
+            for h in hits:
+                if yielded >= 6:
+                    break
+                yielded += 1
+                expect.append((k, h.media_id, yielded))
+    # A7 dedup: first (keyword, rank) wins per media_id
+    best = {}
+    for k, mid, rank in expect:
+        if mid not in best or (k, rank) < best[mid]:
+            best[mid] = (k, rank)
+    want = {(v[0], mid, v[1]) for mid, v in best.items()}
+    got = {(r.keyword, r.media_id, r.rank) for r in out}
+    assert got == want
+    per_kw = {}
+    for r in out:
+        per_kw[r.keyword] = per_kw.get(r.keyword, 0) + 1
+    assert all(v <= 6 for v in per_kw.values())

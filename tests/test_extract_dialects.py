@@ -220,3 +220,25 @@ def test_quora_double_encoded_json():
     assert out["author_name"] == "Jane Doe"
     assert out["publish_time"] == "2023-11-14 22:13:20"
     assert out["spans"] == [("text", "Answer body here.", "")]
+
+
+def test_quora_reference_golden_fixture():
+    """The reference's only committed fixture (an 85 KB live-captured
+    page, /root/reference/news_crawler/quora/test/response.html with the
+    manual scratchpad test.py) — our dialect must extract the same
+    article the reference's quora_answer.py does: double-encoded answer
+    JSON inside push("..."), sections[].spans[] walk, µs-epoch
+    timestamp (quora_answer.py:33-39,68-84,115-156)."""
+    html = open(
+        "/root/reference/news_crawler/quora/test/response.html", encoding="utf-8"
+    ).read()
+    from newscrawler_spark.functions.platforms import parse_quora
+
+    out = parse_quora(html, "https://www.quora.com/What-is-X/answer/Someone-1")
+    assert out["title"] == "What is the best life advice you would give?"
+    assert out["author_name"] == "Annalise Cameron"
+    assert out["publish_time"] == "2018-12-19 11:11:10"  # µs epoch → local fmt
+    kinds = [s[0] for s in out["spans"]]
+    assert len(out["spans"]) == 22 and kinds.count("text") == 22
+    assert out["spans"][0][1].startswith("Your personal and career growth")
+    assert out["spans"][-1][1].startswith("Be obsessed.")
