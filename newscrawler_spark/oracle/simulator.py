@@ -104,6 +104,13 @@ def simulate_crawl(
                 seen.add(canon)
                 fetch_order.append((round_no, domain, rank, canon))
                 status, html, out_links = pages.get(cand.url, (0, None, []))
+                if status == 200 and html:
+                    # S3 two-phase hop (same semantics as the fetch stage)
+                    from ..sources.fetch import iframe_target_py
+
+                    target = iframe_target_py(html, cand.url)
+                    if target:
+                        status, html, out_links = pages.get(target, (0, None, []))
                 if status != 200:
                     quarantine.append((cand.url, round_no, f"http_{status}"))
                     continue

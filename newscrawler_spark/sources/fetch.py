@@ -31,6 +31,44 @@ FETCH_ATTEMPTS = 3     # base.py:26
 FETCH_WAIT_S = 1.0     # base.py:27
 FETCH_TIMEOUT_S = 15.0 # base.py:28
 
+# S3 — two-phase fetch (iframe indirection): naver serves a holder page
+# whose real content sits behind //iframe[@id='mainFrame']/@src
+# (/root/reference/news_crawler/naver_news/naver_news.py:179-195).  The
+# hop happens INSIDE the fetch stage (like the reference — the document
+# keeps the ORIGINAL url/canonical identity; re-enqueueing the iframe
+# URL would key the seen-set on the wrong URL).
+IFRAME_SRC_RE = r'<iframe[^>]*id="mainFrame"[^>]*src="([^"]+)"'
+
+
+def iframe_target_py(html: str | None, base_url: str) -> str | None:
+    """Pure-python twin (drives HttpFetcher and the simulator oracle)."""
+    import re
+
+    if not html:
+        return None
+    m = re.search(IFRAME_SRC_RE, html)
+    if not m:
+        return None
+    src = m.group(1)
+    if src.startswith("//"):
+        return "https:" + src
+    if src.startswith("/"):
+        m2 = re.match(r"^(https?://[^/?#\s]+)", base_url)
+        return (m2.group(1) if m2 else "") + src
+    return src
+
+
+def iframe_target_col(html_col, url_col):
+    """Column twin of iframe_target_py (NULL when no iframe)."""
+    src = F.regexp_extract(html_col, IFRAME_SRC_RE, 1)
+    base = F.concat(F.lit("https://"), F.parse_url(url_col, F.lit("HOST")))
+    resolved = (
+        F.when(src.startswith("//"), F.concat(F.lit("https:"), src))
+        .when(src.startswith("/"), F.concat(base, src))
+        .otherwise(src)
+    )
+    return F.when(src == "", F.lit(None).cast("string")).otherwise(resolved)
+
 
 class FixtureFetcher:
     def __init__(self, pages: DataFrame, max_attempts: int = FETCH_ATTEMPTS):
@@ -46,6 +84,38 @@ class FixtureFetcher:
         )
         # URL not in the fixture web = unresolvable host → status 0
         out = out.withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+
+        # S3 two-phase hop: rows whose page is an iframe holder fetch the
+        # target within the same stage (second left join); the document
+        # keeps the original URL identity
+        out = out.withColumn(
+            "__iframe",
+            F.when(
+                F.col("status") == 200, iframe_target_col(F.col("html"), F.col("url"))
+            ),
+        )
+        p2 = self.pages.select(
+            F.col("url").alias("p2_url"),
+            F.col("status").alias("__status2"),
+            F.col("html").alias("__html2"),
+            F.col("out_links").alias("__links2"),
+        )
+        out = out.join(p2, out["__iframe"] == p2["p2_url"], "left").drop("p2_url")
+        hop = F.col("__iframe").isNotNull()
+        out = (
+            out.withColumn(
+                "status",
+                F.when(hop, F.coalesce(F.col("__status2"), F.lit(0))).otherwise(
+                    F.col("status")
+                ),
+            )
+            .withColumn("html", F.when(hop, F.col("__html2")).otherwise(F.col("html")))
+            .withColumn(
+                "out_links",
+                F.when(hop, F.col("__links2")).otherwise(F.col("out_links")),
+            )
+            .drop("__iframe", "__status2", "__html2", "__links2")
+        )
         return out.withColumn(
             "attempts",
             F.when(F.col("status") == 200, F.lit(1)).otherwise(
@@ -92,6 +162,14 @@ class HttpFetcher:
                             status = resp.status_code
                             if status == 200:
                                 html = resp.text
+                                target = iframe_target_py(html, url)
+                                if target:  # S3 hop, same attempt
+                                    resp2 = session.get(
+                                        target, timeout=timeout_s, headers=headers
+                                    )
+                                    status = resp2.status_code
+                                    html = resp2.text if status == 200 else None
+                            if status == 200:
                                 break
                         except requests.RequestException:
                             status = 0

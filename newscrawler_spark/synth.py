@@ -245,7 +245,7 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.lit("</div></body></html>"),
     )
 
-    naver = F.concat(
+    naver_content = F.concat(
         F.format_string('<html><body><div class="se-title-text">Title %08d</div>', art),
         F.format_string('<span class="nick">Blogger %04d</span>', F.pmod(art, F.lit(977))),
         F.lit('<div class="se-main-container"><div class="se-component se-text">'),
@@ -254,6 +254,15 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.format_string('<img src="%s"/>', img),
         F.lit("</div></div></body></html>"),
     )
+    # half of naver blog URLs serve an iframe holder (the real content is
+    # behind //iframe[@id='mainFrame']/@src — naver_news.py:179-195);
+    # synth_pages emits matching PostView content rows for every id
+    naver_holder = F.format_string(
+        '<html><body><iframe id="mainFrame" '
+        'src="/PostView.naver?blogId=newsroom&logNo=%08d"></iframe></body></html>',
+        art,
+    )
+    naver = F.when(_mix(art, seed + 14, 2) == 0, naver_holder).otherwise(naver_content)
 
     lenny = F.concat(
         F.format_string('<html><body><h1 class="post-title">Title %08d</h1>', art),
@@ -288,6 +297,7 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         "toutiao": toutiao, "wechat": wechat, "netease": netease, "sohu": sohu,
         "tencent": tencent, "bbc": bbc, "cnn": cnn, "detik": detik,
         "naver": naver, "lenny": lenny, "quora": quora,
+        "__naver_content": naver_content,  # PostView rows (not a platform)
     }
 
 
@@ -310,6 +320,7 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) ->
         .otherwise(F.lit(200))
     )
     html_by_platform = _html_exprs(art, seed)
+    naver_content = html_by_platform.pop("__naver_content")
     html = None
     for p, h in html_by_platform.items():
         html = F.when(platform == p, h) if html is None else html.when(platform == p, h)
@@ -324,7 +335,7 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) ->
         lambda i: F.pmod(art * 2 + i * 7 + 1, F.lit(n)),
     )
     out_links = F.transform(link_ids, lambda lid: _url_for(lid, seed))
-    return df.select(
+    main = df.select(
         url.alias("url"),
         status.cast("int").alias("status"),
         F.when(status == 200, html).otherwise(F.lit(None)).alias("html"),
@@ -332,6 +343,17 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, fanout: int = 3) ->
             "out_links"
         ),
     )
+    # PostView content rows for every naver id (iframe targets; always
+    # 200 — the holder row already carries the error distribution)
+    postview = df.filter(platform == "naver").select(
+        F.format_string(
+            "https://blog.naver.com/PostView.naver?blogId=newsroom&logNo=%08d", art
+        ).alias("url"),
+        F.lit(200).alias("status"),
+        naver_content.alias("html"),
+        out_links.alias("out_links"),
+    )
+    return main.unionByName(postview)
 
 
 def synth_budgets(spark: SparkSession, capacity_default: int = 100) -> DataFrame:
