@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "politeness_schedule",
     "span_dedup",
     "markdown_render",
+    "media_manifest",
     "dedup_exact",
     "rolling_fingerprint",
     "jaccard_pairs",
@@ -85,7 +86,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            print(f"  query {name} FAILED: {exc}", file=sys.stderr)
+            out[name] = -1.0
+            continue
         out[name] = round(time.time() - t0, 3)
         print(f"  query {name}: {n} rows in {out[name]}s", file=sys.stderr)
     return out
@@ -232,34 +238,39 @@ def main() -> None:
         "crawl": crawl_big,
     }
     if not os.environ.get("BENCH_SKIP_SCALING"):
-        small_cores = max(2, cpus // 4)
-        n_extract = int(os.environ.get("BENCH_EXTRACT_PAGES", str(n_urls * 10)))
-        ex_big = run_extract_stage(cpus, n_extract)
-        ex_small = run_extract_stage(small_cores, n_extract)
-        result["extract_stage_scaling"] = {
-            "n_cores": small_cores,
-            "n4_cores": cpus,
-            "pages_per_sec_n": ex_small["pages_per_sec"],
-            "pages_per_sec_n4": ex_big["pages_per_sec"],
-            "efficiency": round(
-                (ex_big["pages_per_sec"] / ex_small["pages_per_sec"])
-                / (cpus / small_cores),
-                3,
-            ),
-        }
-        crawl_small = run_crawl(small_cores, n_urls)
-        thr_n, thr_n4 = (
-            crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
-            crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
-        )
-        eff = (thr_n4 / thr_n) / (cpus / small_cores)
-        result["scaling"] = {
-            "n_cores": small_cores,
-            "n4_cores": cpus,
-            "steady_urls_per_sec_n": thr_n,
-            "steady_urls_per_sec_n4": thr_n4,
-            "efficiency": round(eff, 3),
-        }
+        # scaling evidence is best-effort extra: never lose the JSON line
+        # to a failure in the second half of the run
+        try:
+            small_cores = max(2, cpus // 4)
+            n_extract = int(os.environ.get("BENCH_EXTRACT_PAGES", str(n_urls * 10)))
+            ex_big = run_extract_stage(cpus, n_extract)
+            ex_small = run_extract_stage(small_cores, n_extract)
+            result["extract_stage_scaling"] = {
+                "n_cores": small_cores,
+                "n4_cores": cpus,
+                "pages_per_sec_n": ex_small["pages_per_sec"],
+                "pages_per_sec_n4": ex_big["pages_per_sec"],
+                "efficiency": round(
+                    (ex_big["pages_per_sec"] / ex_small["pages_per_sec"])
+                    / (cpus / small_cores),
+                    3,
+                ),
+            }
+            crawl_small = run_crawl(small_cores, n_urls)
+            thr_n, thr_n4 = (
+                crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
+                crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
+            )
+            eff = (thr_n4 / thr_n) / (cpus / small_cores)
+            result["scaling"] = {
+                "n_cores": small_cores,
+                "n4_cores": cpus,
+                "steady_urls_per_sec_n": thr_n,
+                "steady_urls_per_sec_n4": thr_n4,
+                "efficiency": round(eff, 3),
+            }
+        except Exception as exc:  # noqa: BLE001
+            result["scaling_error"] = f"{type(exc).__name__}: {exc}"
     result["value"] = round(time.time() - t_start, 2)
     print(json.dumps(result))
 

@@ -85,6 +85,27 @@ def with_flat_projections(docs: DataFrame, spans_col: str = "spans") -> DataFram
     )
 
 
+def media_manifest(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """S8/A7 — the media-fetch worklist: every distinct media_ref across
+    the corpus with kind and first-seen doc (one fetch per media id even
+    when many docs embed it — downloader.py:117-167 semantics).  The
+    actual byte fetch is a separate job writing (media_ref, bytes) to an
+    object store; bytes never enter the docs table."""
+    exploded = docs.select(
+        F.col("doc_id"), F.explode(spans_col).alias("s")
+    ).filter(F.col("s.kind").isin("image", "video"))
+    return (
+        exploded.groupBy(F.col("s.media_ref").alias("media_ref"))
+        .agg(
+            # min not first(): deterministic under any partitioning (kind
+            # is functionally dependent on the ref anyway)
+            F.min("s.kind").alias("kind"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.count("*").alias("n_refs"),
+        )
+    )
+
+
 def _kind_pred(kind: str):
     def pred(x):
         return x["kind"] == kind

@@ -430,6 +430,35 @@ FROM blocks GROUP BY doc_id
 # Dedup family (training-data ops)
 # ---------------------------------------------------------------------------
 
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A7 — distinct media worklist over the synthesized span docs."""
+    from .operators.projections import media_manifest
+
+    sp = doc_spans(spark, sf_dir)
+    docs = sp.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("kind").alias("kind"),
+                F.when(F.col("kind") == "text", F.col("payload")).otherwise(F.lit("")).alias("text"),
+                F.when(F.col("kind") != "text", F.col("payload")).otherwise(F.lit("")).alias("media_ref"),
+                F.col("pos").cast("int").alias("offset"),
+            )
+        ).alias("spans")
+    )
+    return media_manifest(docs).withColumn(
+        "n_refs", F.col("n_refs").cast("long")
+    )
+
+
+SQL_MEDIA_MANIFEST = f"""
+WITH {SPANS_CTE}
+SELECT payload AS media_ref, min(kind) AS kind,
+       min(doc_id) AS first_doc_id, count(*)::BIGINT AS n_refs
+FROM spans WHERE kind IN ('image', 'video')
+GROUP BY payload
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_doc(spark, sf_dir, "documents"))
 
@@ -812,6 +841,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_projections": q_span_projections,
     "span_dedup": q_span_dedup,
     "markdown_render": q_markdown_render,
+    "media_manifest": q_media_manifest,
     "dedup_exact": q_dedup_exact,
     "rolling_fingerprint": q_rolling_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
@@ -841,6 +871,7 @@ ORACLES: dict[str, str] = {
     "span_projections": SQL_SPAN_PROJECTIONS,
     "span_dedup": SQL_SPAN_DEDUP,
     "markdown_render": SQL_MARKDOWN_RENDER,
+    "media_manifest": SQL_MEDIA_MANIFEST,
     "dedup_exact": SQL_DEDUP_EXACT,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

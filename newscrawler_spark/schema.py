@@ -147,14 +147,10 @@ METRICS = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
         T.StructField("scheduled", T.LongType(), False),
-        T.StructField("fetched_ok", T.LongType(), False),
-        T.StructField("fetch_failed", T.LongType(), False),
-        T.StructField("extracted", T.LongType(), False),
+        T.StructField("docs", T.LongType(), False),
         T.StructField("quarantined", T.LongType(), False),
-        T.StructField("deferred", T.LongType(), False),
         T.StructField("new_seen", T.LongType(), False),
         T.StructField("frontier_next", T.LongType(), False),
-        T.StructField("approx_frontier_card", T.LongType(), True),
     ]
 )
 
