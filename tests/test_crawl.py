@@ -167,3 +167,29 @@ def test_search_sweep_caps_and_dedup(spark):
     for r in out:
         per_kw[r.keyword] = per_kw.get(r.keyword, 0) + 1
     assert all(v <= 6 for v in per_kw.values())
+
+
+def test_robots_longest_prefix_wins(spark):
+    from newscrawler_spark import schema
+    from newscrawler_spark.operators.scheduling import apply_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("x.com", "/", True, 0.0),
+            ("x.com", "/private", False, 0.0),
+            ("x.com", "/private/except", True, 0.0),
+        ],
+        schema.ROBOTS,
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://x.com/a", "x.com", 0, 0, 1),
+            ("https://x.com/private/p", "x.com", 0, 0, 2),
+            ("https://x.com/private/except/q", "x.com", 0, 0, 3),
+            ("https://y.com/no-rules", "y.com", 0, 0, 4),
+        ],
+        "url string, domain string, priority int, depth int, seq long",
+    )
+    allowed, denied = apply_robots(cand, robots)
+    assert {r.seq for r in allowed.collect()} == {1, 3, 4}
+    assert {r.seq for r in denied.collect()} == {2}
