@@ -119,7 +119,6 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
     from newscrawler_spark.sources.fetch import FixtureFetcher
 
     spark = get_spark(f"bench-crawl-{cores}", cores=cores, shuffle_partitions=64)
-    pin_cpu_budget(cores)
     root = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
     try:
         cat = Catalog(root)
@@ -134,6 +133,7 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
         robots = synth.synth_robots(spark)
         conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
+        pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
         t0 = time.time()
         seed_frontier(cat, frontier)
         totals = crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
@@ -177,12 +177,12 @@ def run_extract_stage(cores: int, n_pages: int) -> dict:
     from newscrawler_spark.session import get_spark
 
     spark = get_spark(f"bench-extract-{cores}", cores=cores, shuffle_partitions=64)
-    pin_cpu_budget(cores)
     root = tempfile.mkdtemp(prefix=f"bench_extract_{cores}_")
     try:
         path = os.path.join(root, "pages")
         synth.synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
         pages = spark.read.parquet(path).filter("status = 200")
+        pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
 
         def once() -> tuple[int, float]:
             t0 = time.time()
@@ -214,7 +214,32 @@ def run_extract_stage(cores: int, n_pages: int) -> dict:
         spark.stop()
 
 
+def _in_subprocess(fn: str, cores: int, n: int) -> dict:
+    """Run one measurement in a fresh python+JVM: measurements sharing a
+    JVM contaminate each other (heap fragmentation/GC debt from earlier
+    phases skewed same-process crawl runs by 3x)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", fn, str(cores), str(n)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"worker {fn}/{cores} failed: {proc.stderr[-500:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _worker(fn: str, cores: int, n: int) -> None:
+    out = run_crawl(cores, n) if fn == "crawl" else run_extract_stage(cores, n)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) >= 5 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_urls = int(os.environ.get("BENCH_CRAWL_URLS", "150000"))
@@ -228,7 +253,7 @@ def main() -> None:
     queries = run_queries(spark, sf_dir)
     spark.stop()
 
-    crawl_big = run_crawl(cpus, n_urls)
+    crawl_big = _in_subprocess("crawl", cpus, n_urls)
     result = {
         "metric": "urls_scheduled_fetched_per_sec",
         "value": round(time.time() - t_start, 2),
@@ -243,8 +268,8 @@ def main() -> None:
         try:
             small_cores = max(2, cpus // 4)
             n_extract = int(os.environ.get("BENCH_EXTRACT_PAGES", str(n_urls * 10)))
-            ex_big = run_extract_stage(cpus, n_extract)
-            ex_small = run_extract_stage(small_cores, n_extract)
+            ex_big = _in_subprocess("extract", cpus, n_extract)
+            ex_small = _in_subprocess("extract", small_cores, n_extract)
             result["extract_stage_scaling"] = {
                 "n_cores": small_cores,
                 "n4_cores": cpus,
@@ -256,7 +281,7 @@ def main() -> None:
                     3,
                 ),
             }
-            crawl_small = run_crawl(small_cores, n_urls)
+            crawl_small = _in_subprocess("crawl", small_cores, n_urls)
             thr_n, thr_n4 = (
                 crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
                 crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
