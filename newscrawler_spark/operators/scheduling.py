@@ -44,31 +44,47 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
     robots: (domain, path_prefix, allow, crawl_delay_s).  Prefix semantics:
     a candidate is denied if the longest matching prefix rule for its
     domain has allow=false; domains with no rule default to allow.
+
+    Shape: the per-domain rules collapse into ONE broadcast row carrying
+    a (length-desc, prefix-desc)-sorted rule array; longest-prefix
+    resolution is then a row-local array filter — no shuffle, no window.
+    (The natural theta-join + row_number form costs a full exchange on
+    every candidate row per round; rules tables are KB-sized, so this is
+    strictly better at any scale.)
     """
-    r = robots.select(
-        F.col("domain").alias("r_domain"),
-        "path_prefix",
-        "allow",
-        "crawl_delay_s",
+    rules = robots.groupBy("domain").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.length("path_prefix").alias("len"),
+                        F.col("path_prefix").alias("path_prefix"),
+                        F.col("allow").alias("allow"),
+                        F.col("crawl_delay_s").alias("crawl_delay_s"),
+                    )
+                )
+            )
+        ).alias("__rules")
     )
     path = F.coalesce(F.nullif(F.parse_url("url", F.lit("PATH")), F.lit("")), F.lit("/"))
     joined = candidates.withColumn("__path", path).join(
-        F.broadcast(r),
-        (F.col("domain") == F.col("r_domain"))
-        & F.col("__path").startswith(F.col("path_prefix")),
-        "left",
+        F.broadcast(rules), "domain", "left"
     )
-    # longest-prefix rule wins per candidate row
-    w = Window.partitionBy("url", "seq").orderBy(F.length("path_prefix").desc())
-    best = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "r_domain", "__path", "path_prefix")
+
+    def _matches(r):
+        return F.col("__path").startswith(r["path_prefix"])
+
+    best = F.element_at(F.filter(F.col("__rules"), _matches), 1)
+    out = (
+        joined.withColumn("allow", F.coalesce(best["allow"], F.lit(True)))
+        .withColumn(
+            "crawl_delay_s",
+            F.when(F.col("allow"), best["crawl_delay_s"]),
+        )
+        .drop("__rules", "__path")
     )
-    allowed = best.filter(F.coalesce(F.col("allow"), F.lit(True))).drop("allow")
-    denied = best.filter(~F.coalesce(F.col("allow"), F.lit(True))).drop(
-        "allow", "crawl_delay_s"
-    )
+    allowed = out.filter(F.col("allow")).drop("allow")
+    denied = out.filter(~F.col("allow")).drop("allow", "crawl_delay_s")
     return allowed, denied
 
 

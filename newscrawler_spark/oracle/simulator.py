@@ -56,7 +56,9 @@ def simulate_crawl(
         best = None
         for d, prefix, allow, delay in robots:
             if d == domain and path.startswith(prefix):
-                if best is None or len(prefix) > len(best[0]):
+                # deterministic longest-prefix: ties broken by prefix desc
+                # (matches the engine's (len, prefix)-desc-sorted array)
+                if best is None or (len(prefix), prefix) > (len(best[0]), best[0]):
                     best = (prefix, allow, delay)
         if best is None:
             return True, 0.0
