@@ -33,12 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..canonical import with_url_identity
-from ..operators.scheduling import (
-    apply_robots,
-    budget_gate,
-    dedup_within_round,
-    salt_domains,
-)
+from ..operators.scheduling import apply_robots, budget_gate, dedup_within_round
 from ..operators.seen import filter_unseen
 from ..xhash import md5_64
 
@@ -120,8 +115,10 @@ def run_round(
     # 5. budget gate → (eligible, deferred); ranked frame materialized
     eligible, deferred = budget_gate(allowed, budgets, persist_fn=_p)
 
-    # 6. skew-aware repartition, then fetch + extract
-    eligible = salt_domains(eligible, conf.n_partitions, conf.salt_factor)
+    # 6. fetch + extract.  Partitioning for the fetch is the FETCHER's
+    # concern: HttpFetcher salts by (domain, salt) for politeness
+    # locality + skew spread (salt_domains); FixtureFetcher joins on url
+    # (its own shuffle) — salting first would just add a dead exchange.
     fetched = _p(fetcher.fetch(eligible))
 
     ok = fetched.filter(F.col("status") == 200)

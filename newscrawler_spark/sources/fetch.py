@@ -74,48 +74,53 @@ class FixtureFetcher:
     def __init__(self, pages: DataFrame, max_attempts: int = FETCH_ATTEMPTS):
         self.pages = pages
         self.max_attempts = max_attempts
+        # URL-only projection, cached across rounds: the miss-recovery
+        # anti-join probes this instead of rescanning page HTML
+        self._urls = pages.select(F.col("url").alias("p_url")).cache()
 
-    def fetch(self, eligible: DataFrame) -> DataFrame:
+    def _lookup(self, requests: DataFrame, url_col: str) -> DataFrame:
+        """Left-join `requests` against the page table WITHOUT ever
+        shuffling page HTML: the request side (a round's eligible rows,
+        MBs) is broadcast into an inner join that streams the pages
+        scan, and misses are recovered with a second broadcast anti-join.
+        (The naive left join sort-merge-shuffled the full HTML corpus —
+        GBs — every round.)"""
         pages = self.pages.select(
             F.col("url").alias("p_url"), "status", "html", "out_links"
         )
-        out = eligible.join(pages, eligible["url"] == pages["p_url"], "left").drop(
-            "p_url"
+        found = pages.join(
+            F.broadcast(requests), pages["p_url"] == requests[url_col], "inner"
+        ).drop("p_url")
+        missing = requests.join(
+            self._urls, requests[url_col] == self._urls["p_url"], "left_anti"
         )
-        # URL not in the fixture web = unresolvable host → status 0
-        out = out.withColumn("status", F.coalesce(F.col("status"), F.lit(0)))
+        missing = (
+            missing.withColumn("status", F.lit(0))
+            .withColumn("html", F.lit(None).cast("string"))
+            .withColumn("out_links", F.array().cast("array<string>"))
+        )
+        return found.unionByName(missing)
+
+    def fetch(self, eligible: DataFrame) -> DataFrame:
+        out = self._lookup(eligible, "url")
 
         # S3 two-phase hop: rows whose page is an iframe holder fetch the
-        # target within the same stage (second left join); the document
-        # keeps the original URL identity
+        # target within the same stage; the document keeps the original
+        # URL identity.  Only the (few) hop rows touch the page table a
+        # second time, again stream-side.
         out = out.withColumn(
             "__iframe",
             F.when(
                 F.col("status") == 200, iframe_target_col(F.col("html"), F.col("url"))
             ),
         )
-        p2 = self.pages.select(
-            F.col("url").alias("p2_url"),
-            F.col("status").alias("__status2"),
-            F.col("html").alias("__html2"),
-            F.col("out_links").alias("__links2"),
+        nonhop = out.filter(F.col("__iframe").isNull()).drop("__iframe")
+        hop = out.filter(F.col("__iframe").isNotNull()).drop(
+            "status", "html", "out_links"
         )
-        out = out.join(p2, out["__iframe"] == p2["p2_url"], "left").drop("p2_url")
-        hop = F.col("__iframe").isNotNull()
-        out = (
-            out.withColumn(
-                "status",
-                F.when(hop, F.coalesce(F.col("__status2"), F.lit(0))).otherwise(
-                    F.col("status")
-                ),
-            )
-            .withColumn("html", F.when(hop, F.col("__html2")).otherwise(F.col("html")))
-            .withColumn(
-                "out_links",
-                F.when(hop, F.col("__links2")).otherwise(F.col("out_links")),
-            )
-            .drop("__iframe", "__status2", "__html2", "__links2")
-        )
+        resolved = self._lookup(hop, "__iframe").drop("__iframe")
+        out = nonhop.unionByName(resolved)
+
         return out.withColumn(
             "attempts",
             F.when(F.col("status") == 200, F.lit(1)).otherwise(
@@ -125,15 +130,26 @@ class FixtureFetcher:
 
 
 class HttpFetcher:
-    """Live fetch via mapInPandas; requests imported lazily on executors."""
+    """Live fetch via mapInPandas; requests imported lazily on executors.
+
+    Before fetching, eligible rows are repartitioned by (domain, salt)
+    — politeness locality (a host's requests cluster on few executors)
+    with mega-host skew spread over `salt_factor` partitions
+    (operators.scheduling.salt_domains)."""
 
     def __init__(self, max_attempts: int = FETCH_ATTEMPTS,
-                 wait_s: float = FETCH_WAIT_S, timeout_s: float = FETCH_TIMEOUT_S):
+                 wait_s: float = FETCH_WAIT_S, timeout_s: float = FETCH_TIMEOUT_S,
+                 n_partitions: int = 64, salt_factor: int = 8):
         self.max_attempts = max_attempts
         self.wait_s = wait_s
         self.timeout_s = timeout_s
+        self.n_partitions = n_partitions
+        self.salt_factor = salt_factor
 
     def fetch(self, eligible: DataFrame) -> DataFrame:
+        from ..operators.scheduling import salt_domains
+
+        eligible = salt_domains(eligible, self.n_partitions, self.salt_factor)
         max_attempts, wait_s, timeout_s = self.max_attempts, self.wait_s, self.timeout_s
         out_schema = (
             eligible.schema.simpleString()[7:-1]
