@@ -20,8 +20,11 @@ Scale design (100 TB):
     partial agg (min doc_id) — never on raw text;
   * candidate generation shuffles on shingle/band hashes (bounded-size
     keys), and pairs are emitted only within a bucket — the classic
-    O(candidates) not O(n²) shape; `pair_cap` guards pathological
-    buckets (a shingle shared by k docs emits k² pairs — cap + log);
+    O(candidates) not O(n²) shape; a *deterministic* document-frequency
+    cutoff drops hot shingles before the self-join (a shingle shared by
+    k docs emits k² pairs — stopword n-grams are the pathological case),
+    so the candidate set is bounded without any nondeterministic LIMIT
+    and the DuckDB oracle can mirror the exact same rule;
   * verify joins texts back by doc_id (co-partitioned on the id), so
     full text moves at most once per candidate pair side.
 """
@@ -69,31 +72,81 @@ def _distinct_shingle_hashes(docs: DataFrame, id_col: str, text_col: str, k: int
     )
 
 
+# Default document-frequency cutoff for the shingle inverted index.
+# queries.py formats the SAME constant into the DuckDB oracle SQL, so
+# both engines drop identical shingles whenever the cutoff bites.
+JACCARD_DF_CUTOFF = 10_000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.2,
-    pair_cap: int = 1_000_000,
+    df_cutoff: int = JACCARD_DF_CUTOFF,
+    log_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word k-gram shingle sets,
     with shared-shingle candidate generation (inverted-index join).
 
+    Candidate bounding is DETERMINISTIC: shingles whose document
+    frequency exceeds `df_cutoff` are dropped from the inverted index
+    before the self-join (the standard hot-shingle cutoff — a stopword
+    n-gram shared by k docs would otherwise emit k² candidate pairs).
+    Pairs whose only shared shingles are hot are missed — a documented,
+    reproducible approximation, unlike the previous order-dependent
+    ``.limit(pair_cap)``.  The Jaccard value itself is EXACT: common
+    shingles are re-counted over the full (uncut) shingle sets for each
+    surviving candidate pair, so emitted rows are never underestimated.
+
+    `log_fn`, when given (e.g. ``print``), runs one extra small job to
+    count and report dropped hot shingles; default None adds no job.
+
     Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs
     with jaccard >= threshold, doc_a < doc_b.
+
+    Scale shape: the hot set is tiny by construction (few shingles
+    exceed the cutoff) → broadcast anti-join; candidate generation
+    shuffles on the 64-bit shingle key with every group bounded by
+    df_cutoff; the verify join-back is co-partitioned on doc ids.  On a
+    cluster the shingle index would be checkpointed to a short-lived
+    table instead of being recomputed per consumer (same seam as
+    budget_gate's persist_fn).
     """
-    sh = _distinct_shingle_hashes(docs, id_col, text_col, k).cache()
+    sh = _distinct_shingle_hashes(docs, id_col, text_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > df_cutoff)
+        .select("sh")
+    )
+    if log_fn is not None:
+        n_hot = hot.count()
+        if n_hot:
+            log_fn(
+                f"jaccard_pairs: dropped {n_hot} hot shingles (df > {df_cutoff})"
+            )
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+
+    a = kept.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "sh")
+    cands = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact common over the FULL shingle sets (hot shingles included),
+    # bounded by the candidate pair count — same verify shape as
+    # minhash_lsh_dedup
+    common = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        .limit(pair_cap)
     )
     out = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
@@ -219,7 +272,7 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
@@ -228,13 +281,31 @@ def simhash_pairs(
     hash into `n_blocks` 8-bit blocks; any pair within max_hamming <
     n_blocks must agree exactly on ≥1 block → join per block, verify
     hamming.  O(matching-block pairs), not O(n²).
+
+    Completeness REQUIRES max_hamming < n_blocks (a pair differing in
+    every block is otherwise silently missed), so that is enforced; to
+    search a larger distance, raise n_blocks accordingly (e.g.
+    max_hamming=6 needs n_blocks=7 sub-blocks).
     """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole candidate generation is only complete for "
+            f"max_hamming < n_blocks (got max_hamming={max_hamming}, "
+            f"n_blocks={n_blocks}); raise n_blocks"
+        )
     t = simhash_table(docs, id_col, text_col)
+    # partition the 32 hash bits into n_blocks disjoint groups (width
+    # ceil(32/n_blocks); the last group may be narrower) — pigeonhole
+    # holds for any disjoint full cover
+    width = -(-32 // n_blocks)
+    mask = (1 << width) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("val"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
             )
             for b in range(n_blocks)
         ]

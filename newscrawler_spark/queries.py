@@ -496,12 +496,23 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors operators.dedup.jaccard_pairs exactly: hot shingles (document
+# frequency > JACCARD_DF_CUTOFF) are dropped from the inverted index
+# before candidate generation, but `common` is recomputed over the FULL
+# shingle sets per surviving candidate pair.
 SQL_JACCARD_PAIRS = f"""
 WITH {SHINGLE3_CTE},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
-          FROM sh a JOIN sh b USING (sh)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {DD.JACCARD_DF_CUTOFF}),
+kept AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
+cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b USING (sh)
+          WHERE a.doc_id < b.doc_id),
+pairs AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS common
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2)
 SELECT p.doc_a, p.doc_b, p.common, sa.sz AS size_a, sb.sz AS size_b,
        p.common / (sa.sz + sb.sz - p.common) AS jaccard
 FROM pairs p
