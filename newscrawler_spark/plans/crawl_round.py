@@ -76,6 +76,7 @@ def run_round(
     fetcher,
     round_no: int,
     conf: RoundConfig,
+    fetch_size_hint: int | None = None,
 ) -> RoundResult:
     spark = frontier.sparkSession
 
@@ -119,7 +120,10 @@ def run_round(
     # concern: HttpFetcher salts by (domain, salt) for politeness
     # locality + skew spread (salt_domains); FixtureFetcher joins on url
     # (its own shuffle) — salting first would just add a dead exchange.
-    fetched = _p(fetcher.fetch(eligible))
+    # size hint = previous round's committed frontier_next counter (an
+    # upper bound on this round's eligible rows, known for free) — lets
+    # FixtureFetcher withhold its broadcast hint for oversized rounds
+    fetched = _p(fetcher.fetch(eligible, size_hint_rows=fetch_size_hint))
 
     ok = fetched.filter(F.col("status") == 200)
     failed = fetched.filter(F.col("status") != 200)

@@ -74,7 +74,8 @@ def crawl(
         )
 
         result: RoundResult = run_round(
-            frontier, url_seen, bloom, budgets, robots, fetcher, round_no, conf
+            frontier, url_seen, bloom, budgets, robots, fetcher, round_no, conf,
+            fetch_size_hint=(prev or {}).get("frontier_next"),
         )
 
         # actions: write all deltas, then commit atomically (sequential —

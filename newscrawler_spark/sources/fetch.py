@@ -71,25 +71,48 @@ def iframe_target_col(html_col, url_col):
 
 
 class FixtureFetcher:
-    def __init__(self, pages: DataFrame, max_attempts: int = FETCH_ATTEMPTS):
+    # Above this many request rows the broadcast hint is withheld and the
+    # join falls back to a plain shuffle join: broadcasting an unbounded
+    # round's full-width frontier (the hint bypasses
+    # autoBroadcastJoinThreshold) risks driver OOM.
+    BROADCAST_MAX_ROWS = 4_000_000
+
+    def __init__(
+        self,
+        pages: DataFrame,
+        max_attempts: int = FETCH_ATTEMPTS,
+        broadcast_max_rows: int | None = None,
+    ):
         self.pages = pages
         self.max_attempts = max_attempts
+        self.broadcast_max_rows = (
+            self.BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+        )
         # URL-only projection, cached across rounds: the miss-recovery
         # anti-join probes this instead of rescanning page HTML
         self._urls = pages.select(F.col("url").alias("p_url")).cache()
 
-    def _lookup(self, requests: DataFrame, url_col: str) -> DataFrame:
+    def close(self) -> None:
+        """Release the cached URL projection (call when done crawling)."""
+        self._urls.unpersist()
+
+    def _lookup(
+        self, requests: DataFrame, url_col: str, hint_broadcast: bool = True
+    ) -> DataFrame:
         """Left-join `requests` against the page table WITHOUT ever
         shuffling page HTML: the request side (a round's eligible rows,
         MBs) is broadcast into an inner join that streams the pages
         scan, and misses are recovered with a second broadcast anti-join.
         (The naive left join sort-merge-shuffled the full HTML corpus —
-        GBs — every round.)"""
+        GBs — every round.)  With hint_broadcast=False the explicit
+        hints are withheld and AQE/planner statistics pick the strategy
+        (the oversized-request fallback)."""
         pages = self.pages.select(
             F.col("url").alias("p_url"), "status", "html", "out_links"
         )
+        req = F.broadcast(requests) if hint_broadcast else requests
         found = pages.join(
-            F.broadcast(requests), pages["p_url"] == requests[url_col], "inner"
+            req, pages["p_url"] == requests[url_col], "inner"
         ).drop("p_url")
         missing = requests.join(
             self._urls, requests[url_col] == self._urls["p_url"], "left_anti"
@@ -101,8 +124,13 @@ class FixtureFetcher:
         )
         return found.unionByName(missing)
 
-    def fetch(self, eligible: DataFrame) -> DataFrame:
-        out = self._lookup(eligible, "url")
+    def fetch(self, eligible: DataFrame, size_hint_rows: int | None = None) -> DataFrame:
+        """size_hint_rows: a free upper bound on the request row count
+        (the scheduler passes the previous round's committed
+        frontier_next counter — no extra job); None means "unknown,
+        assume broadcastable" (tests / first round over seed lists)."""
+        bc = size_hint_rows is None or size_hint_rows <= self.broadcast_max_rows
+        out = self._lookup(eligible, "url", hint_broadcast=bc)
 
         # S3 two-phase hop: rows whose page is an iframe holder fetch the
         # target within the same stage; the document keeps the original
@@ -118,6 +146,7 @@ class FixtureFetcher:
         hop = out.filter(F.col("__iframe").isNotNull()).drop(
             "status", "html", "out_links"
         )
+        # hop rows are the (few) iframe-holder pages — always broadcast
         resolved = self._lookup(hop, "__iframe").drop("__iframe")
         out = nonhop.unionByName(resolved)
 
@@ -146,7 +175,7 @@ class HttpFetcher:
         self.n_partitions = n_partitions
         self.salt_factor = salt_factor
 
-    def fetch(self, eligible: DataFrame) -> DataFrame:
+    def fetch(self, eligible: DataFrame, size_hint_rows: int | None = None) -> DataFrame:
         from ..operators.scheduling import salt_domains
 
         eligible = salt_domains(eligible, self.n_partitions, self.salt_factor)

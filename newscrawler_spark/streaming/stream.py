@@ -110,12 +110,18 @@ def crawl_from_seed_stream(
         if catalog.last_round < 0:
             seed_frontier(catalog, seeds)
         else:
-            # merge new seeds into the pending frontier delta
+            # merge new seeds into the pending frontier delta.  The merge
+            # reads the delta path it is about to overwrite — Spark
+            # rejects a self-overwrite ("Cannot overwrite a path that is
+            # also being read from") — so the merged frame is
+            # materialized (localCheckpoint severs the lineage back to
+            # the input files) before the overwrite.  On a cluster the
+            # catalog would stage the new delta and swap atomically.
             nxt = catalog.last_round + 1
             existing = batch_df.sparkSession.read.parquet(
                 catalog.delta_path("frontier", nxt)
             )
-            merged = existing.unionByName(seeds)
+            merged = existing.unionByName(seeds).localCheckpoint(eager=True)
             catalog.write_delta(merged, "frontier", nxt)
         crawl(
             batch_df.sparkSession,

@@ -105,3 +105,45 @@ def test_seed_stream_foreachbatch_matches_batch(spark):
     a = sorted(map(str, b_root.read_table(spark, "docs").collect()))
     b = sorted(map(str, s_root.read_table(spark, "docs").collect()))
     assert a == b and len(a) > 0
+
+
+def test_seed_stream_second_batch_merges_pending_frontier(spark):
+    """A later micro-batch against an already-crawled catalog takes the
+    merge path (read pending frontier delta + overwrite the same path) —
+    regression test for the self-overwrite failure: Spark rejects
+    overwriting a path that is also being read unless the merged frame
+    is materialized first."""
+    import tempfile
+
+    from newscrawler_spark.streaming.stream import crawl_from_seed_stream
+
+    pages = synth.synth_pages(spark, 150)
+    budgets, robots = synth.synth_budgets(spark, 40), synth.synth_robots(spark)
+    conf = RoundConfig(n_partitions=4)
+    seeds = synth.synth_frontier(spark, 150)
+    seed_dir = tempfile.mkdtemp() + "/seeds"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    s_root = Catalog(tempfile.mkdtemp())
+
+    # batch 1: seeds 0..59
+    seeds.filter("seq % 5 < 2").write.mode("append").parquet(seed_dir)
+    q = crawl_from_seed_stream(
+        spark, spark.readStream.schema(seeds.schema).parquet(seed_dir),
+        s_root, FixtureFetcher(pages), budgets, robots,
+        checkpoint=ckpt, max_rounds_per_batch=1, conf=conf,
+    )
+    q.awaitTermination()
+    docs_after_1 = s_root.read_table(spark, "docs").count()
+    assert docs_after_1 > 0 and s_root.last_round >= 0
+
+    # batch 2: remaining seeds arrive — catalog already crawled, so the
+    # handler must merge into the pending frontier delta
+    seeds.filter("seq % 5 >= 2").write.mode("append").parquet(seed_dir)
+    q2 = crawl_from_seed_stream(
+        spark, spark.readStream.schema(seeds.schema).parquet(seed_dir),
+        s_root, FixtureFetcher(pages), budgets, robots,
+        checkpoint=ckpt, max_rounds_per_batch=1, conf=conf,
+    )
+    q2.awaitTermination()
+    docs_after_2 = s_root.read_table(spark, "docs").count()
+    assert docs_after_2 > docs_after_1
