@@ -20,12 +20,13 @@ Reference semantics encoded:
 
 Scale notes:
   * budgets/robots are tiny per-domain tables → broadcast joins (J3);
-  * the rank window shuffles by domain — mega-hosts skew this, so the
-    *fetch* stage repartitions by (domain, salt) with salt width scaled
-    to the domain's row count (salt_domains), while the rank itself
-    must stay un-salted (a per-domain queue is inherently per-domain;
-    its skew is bounded by deferral: at most `capacity` rows survive
-    per domain per round, and AQE skew-join splitting covers the rest).
+  * the per-domain rank is computed in TWO stages (budget_gate): a
+    salted pre-cap window bounds every partition to ~|domain|/salt
+    rows, and the exact per-domain rank then runs over at most
+    salt × capacity survivors — a mega-host with 10^8 frontier rows
+    never funnels them through one window partition;
+  * the *fetch* stage additionally repartitions by (domain, salt) for
+    politeness locality with skew spread (salt_domains).
 """
 
 from __future__ import annotations
@@ -89,7 +90,10 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
 
 
 def budget_gate(
-    candidates: DataFrame, budgets: DataFrame, persist_fn=None
+    candidates: DataFrame,
+    budgets: DataFrame,
+    persist_fn=None,
+    pre_cap_salt: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank candidates per domain and split into (eligible, deferred).
 
@@ -97,8 +101,32 @@ def budget_gate(
     eligible = rank <= effective capacity; deferred rows keep all frontier
     columns and return to the next round (A6 round-wise blocking).
 
-    persist_fn, when given, materializes the ranked frame before the
-    split so eligible and deferred don't each re-execute the window
+    Two-stage top-k so a mega-host never funnels its whole candidate set
+    through ONE window partition (the single-window form shuffled every
+    row of a 10^8-row domain into one task just to rank the ~capacity
+    survivors):
+
+      stage 1 — row_number per (domain, salt-of-url) shard, pre-capped
+        at the domain's raw `capacity` (a row ranked > capacity inside
+        ANY shard has global rank > capacity >= its effective capacity,
+        so it can never be eligible — it defers directly).  Each window
+        partition is ~|domain| / pre_cap_salt rows.
+      stage 2 — exact global row_number per domain over the survivors
+        (<= pre_cap_salt x capacity rows per domain, bounded).
+
+    Rank values emitted for eligible rows are IDENTICAL to the
+    single-window form: no dropped row can precede a row whose global
+    rank <= capacity (it would need global rank > capacity and < that
+    row's simultaneously), so the stage-2 ranks of all potentially
+    eligible rows are exact.  The effective capacity (crawl-delay
+    tightening) can vary per row, which is why the pre-cap uses the
+    domain-constant raw `capacity` upper bound.  Domains with no budget
+    row (NULL capacity = unbounded) skip the pre-cap and keep the old
+    single-window behavior — an unbounded budget admits everything
+    anyway.
+
+    persist_fn, when given, materializes the sharded and ranked frames
+    before their two-way splits so neither side re-executes its window
     (on a cluster this would be a short-lived checkpoint table).
     """
     b = budgets.select(
@@ -116,8 +144,24 @@ def budget_gate(
         ),
     ).otherwise(F.coalesce(F.col("capacity"), F.lit(2**31 - 1)))
 
+    # stage 1: per-(domain, salt) pre-cap at the raw capacity bound
+    cap_bound = F.coalesce(F.col("capacity"), F.lit(2**31 - 1))
+    pre_w = Window.partitionBy("domain", "__salt").orderBy(*RANK_ORDER())
+    pre = joined.withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(pre_cap_salt)).cast("int")
+    ).withColumn("__pre_rank", F.row_number().over(pre_w))
+    if persist_fn is not None:
+        pre = persist_fn(pre)
+    survivors = pre.filter(F.col("__pre_rank") <= cap_bound).drop(
+        "__salt", "__pre_rank"
+    )
+    pre_deferred = pre.filter(F.col("__pre_rank") > cap_bound).drop(
+        "__salt", "__pre_rank", "capacity", "window_s", "crawl_delay_s"
+    )
+
+    # stage 2: exact per-domain rank over the bounded survivor set
     w = Window.partitionBy("domain").orderBy(*RANK_ORDER())
-    ranked = joined.withColumn("rank", F.row_number().over(w)).withColumn(
+    ranked = survivors.withColumn("rank", F.row_number().over(w)).withColumn(
         "__eff_cap", eff_cap
     )
     if persist_fn is not None:
@@ -127,7 +171,7 @@ def budget_gate(
     )
     deferred = ranked.filter(F.col("rank") > F.col("__eff_cap")).drop(
         "__eff_cap", "capacity", "window_s", "crawl_delay_s", "rank"
-    )
+    ).unionByName(pre_deferred)
     return eligible, deferred
 
 

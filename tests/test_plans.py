@@ -36,6 +36,71 @@ def test_budget_gate_broadcasts_budgets(spark):
     assert "BroadcastHashJoin" in _plan(eligible)
 
 
+def test_budget_gate_two_stage_topk_plan_and_equivalence(spark):
+    """The per-domain rank must never funnel a mega-host's full
+    candidate set through one window partition: stage 1 partitions by
+    (domain, __salt) and pre-caps at capacity, stage 2 ranks only the
+    bounded survivors.  Output (rows AND rank values) must equal the
+    single-window form."""
+    from pyspark.sql import Window
+
+    # skewed: one mega-host with 5000 rows, two small domains
+    mega = spark.range(5000).select(
+        F.concat(F.lit("https://mega.host/a/"), F.col("id")).alias("url"),
+        F.lit("mega.host").alias("domain"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+        F.lit("s").alias("source_seed"),
+    )
+    small = spark.range(40).select(
+        F.concat(F.lit("https://tiny.org/p/"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 2 == 0, "tiny.org").otherwise("mini.net").alias("domain"),
+        F.lit(1).cast("int").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+        F.lit(0).alias("round_added"),
+        F.lit(0).alias("attempt"),
+        F.lit("s").alias("source_seed"),
+    )
+    cand = mega.unionByName(small).withColumn("crawl_delay_s", F.lit(0.0))
+    budgets = spark.createDataFrame(
+        [("mega.host", 25, 60), ("tiny.org", 7, 60)],
+        "domain string, capacity int, window_s int",
+    )
+
+    eligible, deferred = budget_gate(cand, budgets)
+
+    # plan: stage-1 window partitions by (domain, __salt)
+    plan = _plan(eligible)
+    import re
+
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    salted = [w for w in windows if "__salt" in w]
+    assert salted, f"no salted pre-cap window in plan:\n{plan[:2000]}"
+
+    # equivalence vs the single-window reference form
+    w = Window.partitionBy("domain").orderBy(
+        F.col("priority").asc(), F.col("depth").asc(), F.col("seq").asc()
+    )
+    b = budgets.select(F.col("domain").alias("bd"), "capacity")
+    ref = (
+        cand.join(b, F.col("domain") == F.col("bd"), "left")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cap", F.coalesce(F.col("capacity"), F.lit(2**31 - 1)))
+    )
+    ref_elig = {
+        (r.url, r.rank) for r in ref.filter("rank <= cap").collect()
+    }
+    got_elig = {(r.url, r.rank) for r in eligible.collect()}
+    assert got_elig == ref_elig
+    # deferred = everything else, with frontier columns intact, no rank
+    assert "rank" not in deferred.columns
+    assert deferred.count() == cand.count() - len(ref_elig)
+
+
 def test_salt_domains_spreads_mega_host(spark):
     # one domain, 2000 rows: without salting all rows land in one
     # partition of a domain-hash repartition; with salt they spread
