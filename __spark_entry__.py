@@ -8,9 +8,10 @@ extracted interleaved-span docs table.
 ``queries``/``oracle_sql`` expose the operator registry from
 ``newscrawler_spark.queries`` — each PySpark implementation paired with
 a DuckDB-runnable SQL oracle (see that module for the cross-engine
-determinism rules).  ``ann_lsh_topk`` intentionally has no oracle
-(float-sign-sensitive LSH bucketing → rows-only check; recall vs the
-exact top-k is asserted in tests/test_training_ops.py instead).
+determinism rules).  Every entry has an oracle, including
+``ann_lsh_topk``: its sign-sketch buckets reproduce exactly in DuckDB
+because the hyperplanes are shared md5-derived literals and
+list_dot_product matches Spark's sequential F.aggregate fold.
 """
 
 from __future__ import annotations

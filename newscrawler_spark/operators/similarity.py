@@ -55,6 +55,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _partial_topk(slim: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched map-side partial top-k over (query_id, neighbor_id,
+    cosine): each batch keeps at most k rows per query, so the exchange
+    feeding the exact per-query window carries ~k·batches·|Q| rows
+    instead of N·|Q|.  Selection only — cosine doubles round-trip Arrow
+    bit-exactly and ordering matches the final window (cosine desc with
+    NaN first, the Spark NaN-is-largest convention; neighbor_id asc),
+    so the final result is identical to ranking the full scored set.
+    """
+    schema = slim.schema
+
+    def topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["cosine", "neighbor_id"],
+                ascending=[False, True],
+                na_position="first",
+                kind="mergesort",
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    return slim.mapInPandas(topk, schema=schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,7 +91,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the k nearest corpus rows
     (self-matches excluded).  Queries are broadcast — the corpus is
-    scanned once with no shuffle until the final per-query top-k.
+    scanned once with no shuffle; a map-side partial top-k (Arrow
+    batches, _partial_topk) then bounds the rows entering the final
+    exact per-query window, so the only exchange carries ~k rows per
+    (query, input batch) rather than the full N·|Q| scored set.
 
     Returns (query_id, neighbor_id, rank, cosine).
     """
@@ -78,11 +108,14 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
     )
+    partial = _partial_topk(
+        scored.select("query_id", "neighbor_id", "cosine"), k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )

@@ -720,12 +720,55 @@ SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 10
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path).  No SQL oracle: the sign-sketch
-    bucketing is float-sign-sensitive, so the driver records a rows-only
-    check; recall vs the exact top-k is asserted in tests instead."""
+    """LSH-bucketed ANN (scale path).  The DuckDB oracle reproduces the
+    sign-sketch buckets exactly: the hyperplanes are the same md5-derived
+    literals on both engines, and DuckDB's list_dot_product matches
+    Spark's sequential F.aggregate fold bit-for-bit (the same recipe
+    that keeps ann_cosine_topk green), so even the float-sign bucket
+    test agrees."""
     emb = _doc(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return SIM.lsh_topk(emb, queries, dim=64, k=10, n_planes=8)
+
+
+def _sql_ann_lsh(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    """Build the DuckDB twin of SIM.lsh_topk(dim=64, k=10, n_planes=8).
+
+    Plane literals come from the SAME generator (SIM.hyperplane) as the
+    Spark plan; repr() round-trips each double exactly."""
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(x) for x in SIM.hyperplane(dim, p)) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    # multiprobe: the query bucket plus each hamming-1 neighbor (all
+    # single-bit flips are distinct, matching Spark's array_union)
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(n_planes)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_terms})::BIGINT AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 8),
+probes AS (SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q),
+s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+      FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+agg AS (SELECT query_id, neighbor_id, max(cos_raw) AS cos_raw FROM s GROUP BY 1, 2),
+r AS (SELECT query_id, neighbor_id,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id))::INT AS rank,
+             round(cos_raw, 6) AS cosine
+      FROM agg)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh()
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,7 +935,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "token_stats_by_source": SQL_TOKEN_STATS_BY_SOURCE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    # ann_lsh_topk: intentionally no oracle (float-sign-sensitive bucketing)
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
