@@ -868,6 +868,137 @@ FROM s GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# Search sweep (S5/S6/L1-L2/A5/A7) & streaming surface (§2.9)
+# ---------------------------------------------------------------------------
+
+def _sweep_inputs(spark: SparkSession, sf_dir: str):
+    """Derive a deterministic API-page fixture from `documents` (same
+    derivation the DuckDB oracle re-states in closed form): keyword =
+    source; items per keyword ordered by doc_id, pages of 4;
+    media_id = 'm' || (doc_id % 97) so the cross-keyword media dedup
+    (A7) actually bites; views = len(text)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("keyword").orderBy("doc_id")
+    items = (
+        _doc(spark, sf_dir, "documents")
+        .select(
+            F.col("source").alias("keyword"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length("text").cast("int").alias("views"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("total_hits", F.count("*").over(Window.partitionBy("keyword")).cast("int"))
+        .withColumn("page", (F.floor((F.col("rn") - 1) / 4) + 1).cast("int"))
+        .withColumn("media_id", F.concat(F.lit("m"), (F.col("doc_id") % 97).cast("string")))
+        .withColumn("media_url", F.concat(F.lit("https://cdn.example/"), F.col("doc_id").cast("string")))
+    )
+    api_pages = (
+        items.groupBy("keyword", "page", "total_hits")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "media_id", "media_url", "views"))
+                ),
+                lambda s: F.struct(
+                    s["media_id"].alias("media_id"),
+                    s["media_url"].alias("media_url"),
+                    s["views"].alias("views"),
+                ),
+            ).alias("hits")
+        )
+        .select("keyword", "page", "hits", "total_hits")
+    )
+    keywords = items.select("keyword").distinct()
+    return keywords, api_pages
+
+
+def q_search_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL iterative pagination sweep (plans.search_sweep —
+    frontier expansion with per-keyword caps mirroring
+    /root/reference/video_crawler/pixabay/videos/downloader.py:61-99);
+    the oracle states the closed-form result (top-10 per keyword in API
+    order, then first-wins per media id)."""
+    from .plans.search_sweep import search_sweep
+
+    keywords, api_pages = _sweep_inputs(spark, sf_dir)
+    return search_sweep(keywords, api_pages, max_per_keyword=10, per_page=4)
+
+
+SQL_SEARCH_SWEEP = """
+WITH it AS (SELECT source AS keyword, doc_id, len(text)::INT AS views,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents),
+ranked AS (SELECT keyword,
+                  'm' || (doc_id % 97) AS media_id,
+                  rn::INT AS rank,
+                  'https://cdn.example/' || doc_id AS media_url,
+                  views
+           FROM it WHERE rn <= 10),
+dd AS (SELECT *, row_number() OVER (PARTITION BY media_id
+                                    ORDER BY keyword, rank) AS rr
+       FROM ranked)
+SELECT keyword, media_id, rank, media_url, views FROM dd WHERE rr = 1
+"""
+
+
+def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL Structured Streaming windowed-metrics query
+    (streaming/stream.py: readStream over catalog doc deltas, watermark
+    on the round event axis, Trigger.AvailableNow) over a catalog built
+    deterministically from `documents` (round = doc_id % 3, platform =
+    source, 2 spans per doc).  Append-mode watermarking finalizes every
+    round except the newest → oracle keeps round < 2."""
+    import tempfile
+
+    from . import schema
+    from .sources.catalog import Catalog
+    from .streaming.stream import run_doc_metrics_available_now
+
+    docs = _doc(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("subtitle"),
+        F.lit(None).cast("string").alias("news_url"),
+        F.col("source").alias("platform"),
+        F.lit(None).cast(schema.META).alias("meta"),
+        (F.col("doc_id") % 3).cast("int").alias("round"),
+        F.lit(0).cast("int").alias("domain_bucket"),
+        F.lit("q").alias("source_seed"),
+    )
+    cat = Catalog(tempfile.mkdtemp(prefix="streamq_"))
+    for r in range(3):
+        cat.write_delta(docs.filter(F.col("round") == r), "docs", r)
+    out = tempfile.mkdtemp(prefix="streamq_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="streamq_ck_") + "/ckpt"
+    run_doc_metrics_available_now(spark, cat, out, ckpt)
+    return spark.read.parquet(out)
+
+
+SQL_STREAM_METRICS = """
+WITH d AS (SELECT (doc_id % 3)::INT AS round_window, source AS platform
+           FROM documents)
+SELECT round_window, platform, count(*)::BIGINT AS docs,
+       (2 * count(*))::BIGINT AS spans
+FROM d WHERE round_window < 2 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -910,6 +1041,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "search_sweep": q_search_sweep,
+    "stream_metrics": q_stream_metrics,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -940,4 +1073,6 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "search_sweep": SQL_SEARCH_SWEEP,
+    "stream_metrics": SQL_STREAM_METRICS,
 }
