@@ -242,7 +242,11 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_urls = int(os.environ.get("BENCH_CRAWL_URLS", "150000"))
+    # 400k URLs ≈ 1.5M scheduled over 5 rounds: large enough that the
+    # ~10 s/round local-mode fixed cost (driver job scheduling — per
+    # ROUND, not per URL, and amortizing to nothing on a 10^10-URL
+    # crawl) stops dominating the N-vs-4N comparison
+    n_urls = int(os.environ.get("BENCH_CRAWL_URLS", "400000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     t_start = time.time()

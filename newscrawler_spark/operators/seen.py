@@ -120,34 +120,40 @@ def filter_unseen(
         )
         return out.drop("url_hash", "bucket")
 
-    # Per-bucket cogroup probe: candidates and the sidecar meet grouped
-    # by bucket, so each bucket's bitset crosses the wire ONCE and the
-    # probe is one vectorized numpy pass per bucket.  (The earlier
-    # row-join form shipped a copy of the 64 KB-512 KB bitset on every
-    # candidate row and byte-compared it per row — O(rows × buckets ×
-    # bitset) memcmp; a 20 k-row probe took minutes.)
-    out_schema = T.StructType(
-        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
-    )
-    cols = [f.name for f in cand.schema.fields]
-
+    # Per-bucket cogroup probe over a SLIM (bucket, url_hash) projection:
+    # each bucket's bitset crosses the wire ONCE and the probe is one
+    # vectorized numpy pass per bucket, with only 16 bytes/row crossing
+    # the Arrow boundary — never the full-width candidate rows.  (The
+    # earlier full-width form round-tripped every frontier column
+    # through Python AND, because its output fed a two-branch
+    # filter-union, executed the probe and its upstream twice per
+    # round.)  The probe emits only the maybe-seen subset; absence from
+    # it IS the definitely-new verdict, so the plan is single-pass:
+    #
+    #   maybe (slim)  --left_semi url_seen-->  confirmed-seen (slim)
+    #   cand (full)   --left_anti confirmed--> unseen
+    #
+    # The big-table join input is the slim maybe set (bounded by actual
+    # seen matches + bloom false positives), and the only full-width
+    # exchange is the final JVM-side anti-join — which co-partitions
+    # with the (bucket, url_hash) key the seen table is laid out on.
     def probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
-        out = cdf[cols].copy()
         if len(bdf) == 0:
-            out["maybe_seen"] = False
-        else:
-            out["maybe_seen"] = _probe_bitset(
-                cdf["url_hash"].to_numpy(), bdf["bitset"].iloc[0], m_bits
-            )
-        return out
+            return cdf.iloc[0:0][["bucket", "url_hash"]]
+        hit = _probe_bitset(
+            cdf["url_hash"].to_numpy(), bdf["bitset"].iloc[0], m_bits
+        )
+        return cdf[["bucket", "url_hash"]][hit]
 
-    probed = (
-        cand.groupBy("bucket")
+    slim = cand.select("bucket", "url_hash")
+    maybe = (
+        slim.groupBy("bucket")
         .cogroup(bloom.select("bucket", "bitset").groupBy("bucket"))
-        .applyInPandas(probe, schema=out_schema)
+        .applyInPandas(probe, schema="bucket int, url_hash bigint")
     )
-    definitely_new = probed.filter(~F.col("maybe_seen"))
-    needs_check = probed.filter(F.col("maybe_seen")).join(
-        url_seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+    confirmed_seen = maybe.join(
+        url_seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_semi"
     )
-    return definitely_new.unionByName(needs_check).drop("maybe_seen", "url_hash", "bucket")
+    return cand.join(
+        confirmed_seen, ["bucket", "url_hash"], "left_anti"
+    ).drop("url_hash", "bucket")

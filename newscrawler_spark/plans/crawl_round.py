@@ -10,7 +10,7 @@
     → fetch (U3)                          [fixture join or mapInPandas]
     → extract (U1, pandas UDF)            [interleaved spans]
     → validate (F3)                       [empty/invalid → quarantine]
-    → deltas: docs, url_seen, quarantine, fetch_order, metrics,
+    → deltas: docs, round_log (seen ∪ order ∪ quarantine, one write),
       frontier_{n+1} = deferred ∪ discovered out-links
 
 Seen-set semantics (the contract the simulator oracle also implements):
@@ -55,9 +55,10 @@ class RoundConfig:
 @dataclass
 class RoundResult:
     docs: DataFrame
-    seen_delta: DataFrame
-    quarantine: DataFrame
-    fetch_order: DataFrame
+    # unified seen ∪ order ∪ quarantine log, discriminated by `kind` —
+    # ONE write job per round instead of three (catalog.write_round_log;
+    # `round` is carried by the delta path, not a data column)
+    round_log: DataFrame
     frontier_next: DataFrame
     counters: dict  # filled by the scheduler after actions run
     persisted: list = None  # frames to unpersist after the round commits
@@ -122,25 +123,33 @@ def run_round(
     # (its own shuffle) — salting first would just add a dead exchange.
     # size hint = previous round's committed frontier_next counter (an
     # upper bound on this round's eligible rows, known for free) — lets
-    # FixtureFetcher withhold its broadcast hint for oversized rounds
-    fetched = _p(fetcher.fetch(eligible, size_hint_rows=fetch_size_hint))
-
-    ok = fetched.filter(F.col("status") == 200)
-    failed = fetched.filter(F.col("status") != 200)
+    # FixtureFetcher withhold its broadcast hint for oversized rounds.
+    #
+    # fetch and extract FUSE into one pipeline whose output is persisted
+    # ONCE, html-free: persisting the raw fetched frame as well would
+    # hold the round's entire HTML corpus in storage a second time and
+    # add a full materialization pass (measured: the two big persists
+    # were the round's dominant memory-bandwidth cost).  extract_udf
+    # returns an error struct for non-200 rows (html is null), so every
+    # downstream consumer — valid/invalid docs, http failures,
+    # discovered out-links — reads the same persisted frame.
+    fetched = fetcher.fetch(eligible, size_hint_rows=fetch_size_hint)
 
     from ..functions.extract import extract_udf
 
     extracted = _p(
-        ok.withColumn(
+        fetched.withColumn(
             "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
         ).drop("html")
     )
-    valid = extracted.filter(
+    ok = extracted.filter(F.col("status") == 200)
+    failed = extracted.filter(F.col("status") != 200)
+    valid = ok.filter(
         F.col("ex.error").isNull()
         & (F.size("ex.spans") > 0)
         & F.col("ex.title").isNotNull()
     )
-    invalid = extracted.filter(
+    invalid = ok.filter(
         F.col("ex.error").isNotNull() | (F.size("ex.spans") <= 0)
     )
 
@@ -163,63 +172,68 @@ def run_round(
         "source_seed",
     )
 
-    # 7. quarantine: fetch failures + invalid extractions + robots denials
-    #    + unsupported platforms (per-row isolation, server.py:130-182)
-    quarantine = (
-        failed.select(
-            "url",
-            F.lit(round_no).alias("round"),
-            F.concat(F.lit("http_"), F.col("status")).alias("error"),
-            F.col("attempts").alias("attempt"),
+    # 7-9. unified round log — seen delta (everything that reached a
+    # terminal state), deterministic crawl order, and quarantine rows
+    # (fetch failures + invalid extractions + robots denials +
+    # unsupported platforms; per-row isolation, server.py:130-182) in
+    # ONE frame discriminated by `kind`, written as one job
+    # (catalog.write_round_log).  `round` rides in the delta path.
+    def _log(kind, df, url=None, canonical=None, hash_bucket=False,
+             domain_rank=False, error=None, attempt=None):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            (F.col("url") if url else F.lit(None).cast("string")).alias("url"),
+            (F.col("canonical_url") if canonical else F.lit(None).cast("string")).alias("canonical_url"),
+            (
+                F.xxhash64("canonical_url")
+                if hash_bucket
+                else F.lit(None).cast("long")
+            ).alias("url_hash"),
+            (
+                F.pmod(F.xxhash64("canonical_url"), F.lit(conf.n_buckets)).cast("int")
+                if hash_bucket
+                else F.lit(None).cast("int")
+            ).alias("bucket"),
+            (F.col("domain") if domain_rank else F.lit(None).cast("string")).alias("domain"),
+            (F.col("rank") if domain_rank else F.lit(None).cast("int")).alias("rank"),
+            (error if error is not None else F.lit(None).cast("string")).alias("error"),
+            (attempt if attempt is not None else F.lit(None).cast("int")).alias("attempt"),
         )
-        .unionByName(
-            invalid.select(
-                "url",
-                F.lit(round_no).alias("round"),
-                F.coalesce(F.col("ex.error"), F.lit("empty content")).alias("error"),
-                F.col("attempts").alias("attempt"),
-            )
-        )
-        .unionByName(
-            denied.select(
-                "url",
-                F.lit(round_no).alias("round"),
-                F.lit("robots_denied").alias("error"),
-                F.lit(0).alias("attempt"),
-            )
-        )
-        .unionByName(
-            unsupported.select(
-                "url",
-                F.lit(round_no).alias("round"),
-                F.lit("unsupported_platform").alias("error"),
-                F.lit(0).alias("attempt"),
-            )
-        )
-    )
 
-    # 8. seen delta: everything that reached a terminal state this round
     terminal = (
         eligible.select("canonical_url")
         .unionByName(denied.select("canonical_url"))
         .unionByName(unsupported.select("canonical_url"))
     )
-    seen_delta = terminal.select(
-        F.xxhash64("canonical_url").alias("url_hash"),
-        F.pmod(F.xxhash64("canonical_url"), F.lit(conf.n_buckets))
-        .cast("int")
-        .alias("bucket"),
-        "canonical_url",
-        F.lit(round_no).alias("round_seen"),
-    )
-
-    # 9. deterministic crawl order: (round, domain, rank)
-    fetch_order = eligible.select(
-        F.lit(round_no).alias("round"),
-        "domain",
-        "rank",
-        "canonical_url",
-        "url",
+    round_log = (
+        _log("seen", terminal, canonical=True, hash_bucket=True)
+        .unionByName(_log("order", eligible, url=True, canonical=True, domain_rank=True))
+        .unionByName(
+            _log(
+                "quarantine",
+                failed,
+                url=True,
+                error=F.concat(F.lit("http_"), F.col("status")),
+                attempt=F.col("attempts"),
+            )
+        )
+        .unionByName(
+            _log(
+                "quarantine",
+                invalid,
+                url=True,
+                error=F.coalesce(F.col("ex.error"), F.lit("empty content")),
+                attempt=F.col("attempts"),
+            )
+        )
+        .unionByName(
+            _log("quarantine", denied, url=True,
+                 error=F.lit("robots_denied"), attempt=F.lit(0))
+        )
+        .unionByName(
+            _log("quarantine", unsupported, url=True,
+                 error=F.lit("unsupported_platform"), attempt=F.lit(0))
+        )
     )
 
     # 10. next frontier = deferred ∪ discovered out-links
@@ -248,9 +262,7 @@ def run_round(
 
     return RoundResult(
         docs=docs,
-        seen_delta=seen_delta,
-        quarantine=quarantine,
-        fetch_order=fetch_order,
+        round_log=round_log,
         frontier_next=frontier_next,
         counters={},
         persisted=persisted,

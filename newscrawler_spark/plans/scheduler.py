@@ -50,6 +50,22 @@ def crawl(
     conf = conf or RoundConfig()
     totals: dict = {}
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = bool(_os.environ.get("SPARK_GRAFT_ROUND_TIMING"))
+
+    def _t(round_no, label, fn):
+        t0 = _time.time()
+        out = fn()
+        if _timing:
+            print(
+                f"    [round {round_no}] {label}: {_time.time() - t0:.2f}s",
+                file=_sys.stderr,
+            )
+        return out
+
     start = catalog.last_round + 1
     for round_no in range(start, max_rounds):
         import time as _time
@@ -80,58 +96,54 @@ def crawl(
 
         # actions: write all deltas, then commit atomically (sequential —
         # measured: concurrent write jobs contend on the shared local-mode
-        # scheduler/memory and run 4x slower than back-to-back)
-        n_docs = catalog.write_delta(result.docs, "docs", round_no)
-        n_seen = catalog.write_delta(result.seen_delta, "url_seen", round_no)
-        n_quar = catalog.write_delta(result.quarantine, "quarantine", round_no)
-        n_order = catalog.write_delta(result.fetch_order, "fetch_order", round_no)
-        n_next = catalog.write_delta(
+        # scheduler/memory and run 4x slower than back-to-back).
+        # Per-round Spark jobs: docs, round_log (seen ∪ order ∪
+        # quarantine in ONE partitioned write), frontier, bloom,
+        # budget_state — 5, down from 8; the metrics row is written
+        # driver-side (pyarrow), and per-table counts ride on the two
+        # big writes as Observations.
+        n_docs = _t(round_no, "write docs", lambda: catalog.write_delta(result.docs, "docs", round_no))
+        log_counts = _t(round_no, "write round_log", lambda: catalog.write_round_log(result.round_log, round_no))
+        n_next = _t(round_no, "write frontier", lambda: catalog.write_delta(
             result.frontier_next, "frontier", round_no + 1
-        )
+        ))
 
-        seen_round = spark.read.parquet(catalog.delta_path("url_seen", round_no))
+        from pyspark.sql import functions as F
+
+        # bloom + budget accounting both re-read the just-written (small)
+        # round_log delta — partition-pruned by kind, column-pruned —
+        # instead of re-executing the round lineage
+        log_round = catalog.read_round_log_delta(spark, round_no)
+        seen_round = log_round.filter(F.col("kind") == "seen").select(
+            "url_hash", "bucket"
+        )
         new_bloom = (
             build_bloom(seen_round, conf.n_buckets, conf.m_bits)
             if bloom is None
             else merge_bloom(bloom, seen_round, conf.n_buckets, conf.m_bits)
         )
-        catalog.write_delta(new_bloom, "bloom", round_no)
+        _t(round_no, "write bloom", lambda: catalog.write_delta(new_bloom, "bloom", round_no))
 
         counters = {
-            "scheduled": n_order,
+            "scheduled": log_counts["order"],
             "docs": n_docs,
-            "new_seen": n_seen,
-            "quarantined": n_quar,
+            "new_seen": log_counts["seen"],
+            "quarantined": log_counts["quarantine"],
             "frontier_next": n_next,
             "wall_sec": round(_time.time() - t_round, 3),
         }
         # A3/A4: per-round metrics row + budget accounting delta (the
         # reference's batch success/fail counters and APIKeyPool folds,
         # round-wise — see operators.scheduling.budget_accounting)
-        from pyspark.sql import functions as F
-
         from ..operators.scheduling import budget_accounting
 
-        metrics_row = spark.createDataFrame(
-            [
-                (
-                    round_no,
-                    n_order,
-                    n_docs,
-                    n_quar,
-                    n_seen,
-                    n_next,
-                )
-            ],
-            "round int, scheduled long, docs long, quarantined long, "
-            "new_seen long, frontier_next long",
-        )
-        catalog.write_delta(metrics_row, "metrics", round_no)
-        catalog.write_delta(
-            budget_accounting(budgets, result.fetch_order, round_no),
+        catalog.write_metrics_row(round_no, counters)
+        scheduled = log_round.filter(F.col("kind") == "order").select("domain")
+        _t(round_no, "write budget_state", lambda: catalog.write_delta(
+            budget_accounting(budgets, scheduled, round_no),
             "budget_state",
             round_no,
-        )
+        ))
         catalog.commit_round(round_no, counters)
         result.unpersist()
         totals[round_no] = counters

