@@ -35,6 +35,36 @@ def _span(kind: str, content: str) -> tuple[str, str, str]:
     return (kind, "", content)
 
 
+def _find_exact(root: Node, tag: str, class_attr: str) -> Node | None:
+    """First descendant with tag and EXACT @class string (the reference's
+    [@class='a b'] tests are string equality, not token membership)."""
+    for n in root.iter():
+        if n.tag == tag and n.attrs.get("class") == class_attr:
+            return n
+    return None
+
+
+def _find_all_exact(root: Node, tag: str, class_attr: str) -> list[Node]:
+    return [
+        n for n in root.iter()
+        if n.tag == tag and n.attrs.get("class") == class_attr
+    ]
+
+
+def _find_all_attr(root: Node, attr: str, value: str) -> list[Node]:
+    return [n for n in root.iter() if n.attrs.get(attr) == value]
+
+
+def _first_text_child(nodes: list[Node]) -> str | None:
+    """XPath `//tag/text()` + .get(): the first DIRECT child text node
+    across the matched elements in document order (None if none)."""
+    for n in nodes:
+        for c in n.children:
+            if c.tag == "#text" and c.text is not None:
+                return c.text
+    return None
+
+
 def first_wins_dedup(spans: list[tuple[str, str, str]]) -> list[tuple[str, str, str]]:
     """Order-preserving (kind, content) dedup — wechat_news.py:236-256
     (content key is text for text spans, media_ref for media spans)."""
@@ -259,50 +289,55 @@ _TENCENT_DATA = re.compile(r"window\.DATA\s*=\s*({.*?})\s*[;\n]", re.DOTALL)
 
 
 def parse_tencent(html: str, url: str) -> dict:
-    title = author_name = author_url = publish_time = ""
+    """tencent_news.py:82-200 — title strictly from //h1/text() (raises
+    without it; window.DATA feeds ONLY the meta fields), content from the
+    direct children of div[@class="rich_media_content"]: a p with any
+    descendant img becomes an image (first descendant img carrying @src),
+    otherwise its string(); child img/video by @src."""
+    author_name = publish_time = ""
     m = _TENCENT_DATA.search(html)
     if m:
         try:
             data = json.loads(m.group(1))
-            title = str(data.get("title", "") or "")
             publish_time = str(data.get("pubtime", "") or "")
             author_name = str(data.get("media", "") or "")
         except ValueError:
             pass
     root = parse_html(html)
-    if not title:
-        h1 = root.find("h1")
-        title = h1.string().strip() if h1 else ""
-    if not title:
+    # //h1/text() with the reference's exact check order: raise while
+    # unstripped (a whitespace-only text node passes), strip after
+    title_raw = _first_text_child([n for n in root.iter() if n.tag == "h1"])
+    if not title_raw:
         raise ValueError("Failed to get title")
+    title = title_raw.strip()
 
     spans: list[tuple[str, str, str]] = []
-    body = root.find("div", cls="content-article")
+    body = _find_exact(root, "div", "rich_media_content")
     if body:
-        for el in body.iter():
-            if el.tag == "p" and "one-p" in el.classes():
-                text = el.string().strip()
-                if text:
-                    spans.append(_span(TEXT, text))
-            elif el.tag == "img":
-                src = el.get("src") or el.get("data-src")
-                if src:
-                    spans.append(_span(IMAGE, _sohu_fix_scheme(src)))
-            elif el.tag == "video":
-                src = el.get("src")
-                if src:
-                    spans.append(_span(VIDEO, src))
-    if not spans and body:
         for el in body.element_children():
             if el.tag == "p":
-                text = el.string().strip()
-                if text:
-                    spans.append(_span(TEXT, text))
+                imgs = el.find_all("img")
+                if imgs:
+                    src = next((i.attrs["src"] for i in imgs if "src" in i.attrs), "")
+                    if src:
+                        spans.append(_span(IMAGE, src))
+                else:
+                    text = el.string().strip()
+                    if text:
+                        spans.append(_span(TEXT, text))
+            elif el.tag == "img":
+                src = el.attrs.get("src", "")
+                if src:
+                    spans.append(_span(IMAGE, src))
+            elif el.tag == "video":
+                src = el.attrs.get("src", "")
+                if src:
+                    spans.append(_span(VIDEO, src))
     return {
         "title": title,
         "subtitle": None,
         "author_name": author_name,
-        "author_url": author_url,
+        "author_url": "",
         "publish_time": publish_time,
         "spans": spans,
     }
@@ -315,47 +350,110 @@ def parse_tencent(html: str, url: str) -> dict:
 # '//'-srcs fixed to https.
 # ---------------------------------------------------------------------------
 
-def parse_bbc(html: str, url: str) -> dict:
-    root = parse_html(html)
-    h1 = root.find("h1")
-    title = (h1.string().strip() if h1 else "")
-    if not title:
-        raise ValueError("Failed to get title")
+def _bbc_normalize(src: str, base: str = "https://www.bbc.com") -> str:
+    if src.startswith("//"):
+        return "https:" + src
+    if src.startswith("/"):
+        return base + src
+    return src
 
+
+def parse_bbc(html: str, url: str) -> dict:
+    """bbc_news.py:112-227 — COVER-FIRST ordering regardless of document
+    position: the first img-bearing figure's first non-placeholder src,
+    then every text-block paragraph, then figures 2..n, then video
+    blocks (video/@src, else source/@src, else any descendant
+    @data-video-src); title //h1/text() with //article//h1/text()
+    fallback; byline-block paragraph texts joined, else 'BBC News'."""
+    root = parse_html(html)
+    title_raw = _first_text_child([n for n in root.iter() if n.tag == "h1"])
+    if not title_raw:
+        arts = [n for n in root.iter() if n.tag == "article"]
+        h1s = [h for a in arts for h in a.iter() if h is not a and h.tag == "h1"]
+        title_raw = _first_text_child(h1s)
+    if not title_raw:
+        raise ValueError("Failed to get title")
+    title = title_raw.strip()
+
+    times = [n for n in root.iter() if n.tag == "time"]
     publish_time = ""
-    t = root.find("time")
-    if t:
-        publish_time = t.get("datetime") or t.string().strip()
-    author_name = ""
-    byline = root.find("div", cls="byline")
-    if byline:
-        author_name = byline.string().strip()
+    for t in times:
+        if "datetime" in t.attrs:
+            publish_time = t.attrs["datetime"]
+            break
+    if not publish_time:
+        publish_time = _first_text_child(times) or ""
+    publish_time = publish_time.strip()
+    parts = []
+    for bl in _find_all_attr(root, "data-component", "byline-block"):
+        for p in bl.find_all("p"):
+            for c in p.children:
+                if c.tag == "#text" and c.text and c.text.strip():
+                    parts.append(c.text.strip())
+    author_name = " ".join(parts) if parts else "BBC News"
 
     spans: list[tuple[str, str, str]] = []
-    article = root.find("article")
-    if article:
-        for el in article.element_children():
-            comp = el.get("data-component")
-            if comp == "text-block":
-                for p in el.find_all("p"):
-                    text = p.string().strip()
-                    if text:
-                        spans.append(_span(TEXT, text))
-            elif comp in ("image-block", "") or el.tag == "figure":
-                figures = [el] if el.tag == "figure" else el.find_all("figure")
-                for fig in figures:
-                    srcs = [img.get("src") for img in fig.find_all("img")]
-                    real = [s for s in srcs if s and not s.endswith("grey-placeholder.png")]
-                    if real:
-                        src = real[0]
-                        if src.startswith("//"):
-                            src = "https:" + src
-                        spans.append(_span(IMAGE, src))
-            elif comp == "video-block":
-                for v in el.find_all("video"):
-                    src = v.get("src")
-                    if src:
-                        spans.append(_span(VIDEO, src))
+    articles = [n for n in root.iter() if n.tag == "article"]
+
+    def img_figures(article: Node) -> list[Node]:
+        return [
+            f for f in article.iter()
+            if f is not article and f.tag == "figure" and f.find("img") is not None
+        ]
+
+    def first_real_src(figs: list[Node]) -> str | None:
+        srcs = [
+            img.attrs["src"]
+            for fig in figs
+            for img in fig.find_all("img")
+            if "src" in img.attrs
+        ]
+        for s in srcs:
+            if s and not s.endswith("grey-placeholder.png"):
+                return s
+        return None
+
+    # cover: parsel's `.//figure[.//img][1]` over the article LIST takes
+    # the first qualifying figure of EACH article; getall then flattens
+    # their img srcs and the first non-placeholder wins (bbc:133-146)
+    covers = [figs[0] for a in articles if (figs := img_figures(a))]
+    if covers:
+        src = first_real_src(covers)
+        if src:
+            spans.append(_span(IMAGE, _bbc_normalize(src)))
+
+    for a in articles:
+        for tb in _find_all_attr(a, "data-component", "text-block"):
+            for p in tb.find_all("p"):
+                text = p.string().strip()
+                if text:
+                    spans.append(_span(TEXT, text))
+
+    for a in articles:
+        for fig in img_figures(a)[1:]:
+            src = first_real_src([fig])
+            if src:
+                spans.append(_span(IMAGE, _bbc_normalize(src)))
+
+    for a in articles:
+        for vb in _find_all_attr(a, "data-component", "video-block"):
+            src = None
+            for v in vb.find_all("video"):
+                if "src" in v.attrs:
+                    src = v.attrs["src"]
+                    break
+            if src is None:
+                for s in vb.find_all("source"):
+                    if "src" in s.attrs:
+                        src = s.attrs["src"]
+                        break
+            if src is None:
+                for n in vb.iter():
+                    if n is not vb and "data-video-src" in n.attrs:
+                        src = n.attrs["data-video-src"]
+                        break
+            if src:
+                spans.append(_span(VIDEO, _bbc_normalize(src)))
     return {
         "title": title,
         "subtitle": None,
@@ -423,49 +521,78 @@ def parse_cnn(html: str, url: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # detik — detik_news.py:72-180: cover media emitted BEFORE body (W4,
-# :96-130); h1.detail__title; div.detail__body-text walk p/img/video.
+# :96-130); //h1/text() title (strip-then-check); meta scoped under
+# article[@class='detail']; body = the EXACT class
+# 'detail__body-text itp_bodycontent' div's direct children with the
+# reference's sequential (non-exclusive) branch structure: a p emits its
+# text AND its nested images; div children emit all nested images;
+# table/strong emit their string.
 # ---------------------------------------------------------------------------
 
 def parse_detik(html: str, url: str) -> dict:
     root = parse_html(html)
-    h1 = root.find("h1", cls="detail__title") or root.find("h1")
-    title = (h1.string().strip() if h1 else "")
+    title = (
+        _first_text_child([n for n in root.iter() if n.tag == "h1"]) or ""
+    ).strip()
     if not title:
         raise ValueError("Failed to get title")
 
     author_name = publish_time = ""
-    author_div = root.find("div", cls="detail__author")
-    if author_div:
-        author_name = author_div.string().strip()
-    date_div = root.find("div", cls="detail__date")
-    if date_div:
-        publish_time = date_div.string().strip()
+    art = _find_exact(root, "article", "detail")
+    if art:
+        date_div = _find_exact(art, "div", "detail__date")
+        if date_div:
+            publish_time = (_first_text_child([date_div]) or "").strip()
+        author_div = _find_exact(art, "div", "detail__author")
+        if author_div:
+            author_name = author_div.string().strip()
 
     spans: list[tuple[str, str, str]] = []
-    # cover first (detik_news.py:96-130)
-    cover = root.find("div", cls="detail__media")
+    # cover first (detik_news.py:96-130): child-step path
+    # div[@class='detail__media']/figure[@class='detail__media-image']/img
+    cover = _find_exact(root, "div", "detail__media")
     if cover:
-        img = cover.find("img")
-        if img and img.get("src"):
-            spans.append(_span(IMAGE, img.get("src")))
-        vid = cover.find("video")
-        if vid and vid.get("src"):
-            spans.append(_span(VIDEO, vid.get("src")))
-    body = root.find("div", cls="detail__body-text")
+        poster_img = poster_video = None
+        for fig in cover.element_children():
+            if fig.tag == "figure" and fig.attrs.get("class") == "detail__media-image":
+                for img in fig.element_children():
+                    if img.tag == "img" and "src" in img.attrs:
+                        poster_img = img.attrs["src"]
+                        break
+                if poster_img is not None:
+                    break
+        for ifr in cover.element_children():
+            if ifr.tag == "iframe" and "src" in ifr.attrs:
+                poster_video = ifr.attrs["src"]
+                break
+        if poster_img:
+            spans.append(_span(IMAGE, poster_img))
+        if poster_video:
+            spans.append(_span(VIDEO, poster_video))
+    body = _find_exact(root, "div", "detail__body-text itp_bodycontent")
     if body:
         for el in body.element_children():
             if el.tag == "p":
                 text = el.string().strip()
                 if text:
                     spans.append(_span(TEXT, text))
-            elif el.tag == "img":
-                src = el.get("src")
-                if src:
-                    spans.append(_span(IMAGE, src))
-            elif el.tag == "video":
-                src = el.get("src")
+            if el.tag in ("img", "div", "p"):
+                if el.tag == "img":
+                    src = el.attrs.get("src", "")
+                    if src:
+                        spans.append(_span(IMAGE, src))
+                else:
+                    for img in el.find_all("img"):
+                        if "src" in img.attrs and img.attrs["src"]:
+                            spans.append(_span(IMAGE, img.attrs["src"]))
+            if el.tag == "video":
+                src = el.attrs.get("src", "")
                 if src:
                     spans.append(_span(VIDEO, src))
+            if el.tag in ("table", "strong"):
+                text = el.string().strip()
+                if text:
+                    spans.append(_span(TEXT, text))
     return {
         "title": title,
         "subtitle": None,
@@ -477,68 +604,144 @@ def parse_detik(html: str, url: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# naver — naver_news.py:42-171: div.se-main-container walk; zero-width
-# chars stripped (:93); list numbering '{i}. ' / '• ' (:95-103);
-# first-wins dedup applied (:59).
+# naver — naver_news.py:42-236: title = string of the first span under
+# the EXACT-class 'se-module se-module-text se-title-text' div; content
+# is NaverNewsContentParser's recursive walk over the exact-class
+# 'se-main-container' div's children (containers section/div/blockquote/
+# figure recurse; h1-h6/ul/ol/li/p/span/strong text with '{i}. '/'• '
+# list numbering; img by data-lazy-src||src, video/iframe by src; p
+# emits nested media before its text); zero-width chars stripped (:91);
+# empty-content filter then first-wins dedup (:58-59).
 # ---------------------------------------------------------------------------
 
 def parse_naver(html: str, url: str) -> dict:
     root = parse_html(html)
-    title_el = root.find("div", cls="se-title-text") or root.find("h3", cls="se_textarea")
-    title = (title_el.string().strip() if title_el else "")
+    title_div = _find_exact(root, "div", "se-module se-module-text se-title-text")
+    title = ""
+    if title_div:
+        span = title_div.find("span")
+        if span is not None:
+            title = span.string().strip()
     if not title:
         raise ValueError("Failed to get title")
 
-    author_name = publish_time = ""
-    nick = root.find("span", cls="nick")
-    if nick:
-        author_name = nick.string().strip()
-    date_el = root.find("span", cls="se_publishDate")
+    author_name = author_url = publish_time = ""
+    date_el = _find_exact(root, "span", "se_publishDate pcol2")
     if date_el:
-        publish_time = date_el.string().strip()
+        publish_time = (_first_text_child([date_el]) or "").strip()
+    nick = _find_exact(root, "span", "nick")
+    if nick:
+        a = nick.find("a")
+        if a is not None:
+            author_name = (_first_text_child([a]) or "").strip()
+            author_url = a.attrs.get("href", "").strip()
 
     spans: list[tuple[str, str, str]] = []
-    container = root.find("div", cls="se-main-container")
+    container = _find_exact(root, "div", "se-main-container")
     if container:
         for comp in container.element_children():
-            _naver_component(comp, spans)
+            _naver_walk(comp, spans)
+    spans = [
+        s for s in spans if (s[1] if s[0] == TEXT else s[2]).strip()
+    ]
     spans = first_wins_dedup(spans)
     return {
         "title": title,
         "subtitle": None,
         "author_name": author_name,
-        "author_url": "",
+        "author_url": author_url,
         "publish_time": publish_time,
         "spans": spans,
     }
 
 
-def _naver_component(comp: Node, spans: list) -> None:
-    classes = comp.classes()
-    if "se-component" not in classes and comp.tag != "div":
+def _naver_text(node: Node) -> str | None:
+    if node.tag in ("script", "style"):
+        return None
+    text = node.string().strip()
+    if not text:
+        return None
+    return text.replace(ZERO_WIDTH, "").replace("​", "")
+
+
+def _naver_list_item(node: Node) -> str | None:
+    text = _naver_text(node)
+    if not text:
+        return None
+    # ancestor::ol check + preceding-sibling::li count
+    p, in_ol = node.parent, False
+    while p is not None:
+        if p.tag == "ol":
+            in_ol = True
+            break
+        p = p.parent
+    if in_ol:
+        pos = 1
+        if node.parent is not None:
+            for c in node.parent.children:
+                if c is node:
+                    break
+                if c.tag == "li":
+                    pos += 1
+        return f"{pos}. {text}"
+    return f"• {text}"
+
+
+def _naver_media(node: Node) -> tuple[str, str, str] | None:
+    if node.tag == "img":
+        src = node.attrs.get("data-lazy-src", "") or node.attrs.get("src", "")
+        if src:
+            return _span(IMAGE, src)
+    elif node.tag in ("video", "iframe"):
+        src = node.attrs.get("src", "")
+        if src:
+            return _span(VIDEO, src)
+    return None
+
+
+def _naver_walk(node: Node, spans: list) -> None:
+    tag = node.tag
+    if tag in ("section", "div", "blockquote", "figure"):
+        for child in node.element_children():
+            _naver_walk(child, spans)
         return
-    if "se-text" in classes or comp.find("p", cls="se-text-paragraph"):
-        for p in comp.find_all("p", cls="se-text-paragraph"):
-            text = p.string().replace(ZERO_WIDTH, "").strip()
-            if text:
-                spans.append(_span(TEXT, text))
-    if "se-image" in classes or comp.find("img"):
-        for img in comp.find_all("img"):
-            src = img.get("data-lazy-src") or img.get("src")
-            if src:
-                spans.append(_span(IMAGE, src))
-    if "se-oglink" in classes:
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        text = _naver_text(node)
+        if text:
+            spans.append(_span(TEXT, text))
         return
-    for ul in comp.find_all("ul"):
-        for li in ul.find_all("li"):
-            text = li.string().replace(ZERO_WIDTH, "").strip()
-            if text:
-                spans.append(_span(TEXT, f"• {text}"))
-    for ol in comp.find_all("ol"):
-        for i, li in enumerate(ol.find_all("li"), start=1):
-            text = li.string().replace(ZERO_WIDTH, "").strip()
-            if text:
-                spans.append(_span(TEXT, f"{i}. {text}"))
+    if tag in ("ul", "ol"):
+        for li in node.find_all("li"):
+            item = _naver_list_item(li)
+            if item:
+                spans.append(_span(TEXT, item))
+        return
+    if tag == "li":
+        item = _naver_list_item(node)
+        if item:
+            spans.append(_span(TEXT, item))
+        return
+    media = _naver_media(node)
+    if media:
+        spans.append(media)
+        return
+    if tag == "p":
+        nested = [
+            n for n in node.iter()
+            if n is not node and n.tag in ("img", "video", "iframe")
+        ]
+        for m in nested:
+            mm = _naver_media(m)
+            if mm:
+                spans.append(mm)
+        text = _naver_text(node)
+        if text:
+            spans.append(_span(TEXT, text))
+        return
+    if tag in ("span", "strong"):
+        text = _naver_text(node)
+        if text:
+            spans.append(_span(TEXT, text))
 
 
 # ---------------------------------------------------------------------------

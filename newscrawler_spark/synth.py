@@ -202,15 +202,19 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.lit("</article></body></html>"),
     )
 
+    # reference-parseable shape (tencent_news.py:82-200): title strictly
+    # from <h1>; window.DATA feeds only meta; content children of the
+    # EXACT-class rich_media_content div
     tencent = F.concat(
         F.format_string(
             '<html><body><script>window.DATA = {"title": "Title %08d", '
             '"pubtime": "2025-01-%02d 14:00", "media": "Media%03d"} ;</script>',
             art, day, F.pmod(art, F.lit(97)),
         ),
-        F.lit('<div class="content-article">'),
-        _paras(art, seed, '<p class="one-p">' + _BODY + "</p>"),
-        F.format_string('<img src="%s"/>', img),
+        F.format_string("<h1>Title %08d</h1>", art),
+        F.lit('<div class="rich_media_content">'),
+        _paras(art, seed, _P),
+        F.format_string('<p><img src="%s"/></p>', img),
         F.lit("</div></body></html>"),
     )
 
@@ -235,19 +239,43 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         F.lit("</main></body></html>"),
     )
 
+    # reference-parseable shape (detik_news.py:72-180): meta under
+    # article[@class='detail']; cover img behind the exact child path
+    # detail__media/figure.detail__media-image/img; body div carries the
+    # EXACT double class
     detik = F.concat(
         F.format_string('<html><body><h1 class="detail__title">Title %08d</h1>', art),
+        F.lit('<article class="detail">'),
         F.format_string('<div class="detail__date">2025-01-%02d</div>', day),
-        F.format_string('<div class="detail__media"><img src="%s"/></div>', img2),
-        F.lit('<div class="detail__body-text">'),
+        F.format_string('<div class="detail__author">Reporter %04d</div>', F.pmod(art, F.lit(977))),
+        F.format_string(
+            '<div class="detail__media"><figure class="detail__media-image">'
+            '<img src="%s"/></figure></div>',
+            img2,
+        ),
+        F.lit('<div class="detail__body-text itp_bodycontent">'),
         _paras(art, seed, _P),
         F.format_string('<img src="%s"/>', img),
-        F.lit("</div></body></html>"),
+        F.lit("</div></article></body></html>"),
     )
 
+    # reference-parseable shape (naver_news.py:42-236): title span under
+    # the exact triple-class module div; nick author with <a>; exact
+    # 'se_publishDate pcol2' span; content inside se-main-container
     naver_content = F.concat(
-        F.format_string('<html><body><div class="se-title-text">Title %08d</div>', art),
-        F.format_string('<span class="nick">Blogger %04d</span>', F.pmod(art, F.lit(977))),
+        F.format_string(
+            '<html><body><div class="se-module se-module-text se-title-text">'
+            "<span>Title %08d</span></div>",
+            art,
+        ),
+        F.format_string(
+            '<span class="nick"><a href="https://blog.naver.com/blogger%04d">'
+            "Blogger %04d</a></span>",
+            F.pmod(art, F.lit(977)), F.pmod(art, F.lit(977)),
+        ),
+        F.format_string(
+            '<span class="se_publishDate pcol2">2025-01-%02d 10:00</span>', day
+        ),
         F.lit('<div class="se-main-container"><div class="se-component se-text">'),
         _paras(art, seed, '<p class="se-text-paragraph">' + _BODY + "</p>"),
         F.lit('</div><div class="se-component se-image">'),

@@ -79,10 +79,13 @@ BBC_HTML = """
 def test_bbc_placeholder_filter_and_scheme():
     out = P.parse_bbc(BBC_HTML, "u")
     assert out["publish_time"] == "2025-10-27T12:00:00Z"
+    # cover-first: the reference emits the first img-figure BEFORE the
+    # text blocks regardless of document position (bbc_news.py:131-146;
+    # machine-checked in test_reference_parity.py)
     assert out["spans"] == [
+        ("image", "", "https://ichef.bbci.co.uk/real.jpg"),
         ("text", "Para one.", ""),
         ("text", "Para two.", ""),
-        ("image", "", "https://ichef.bbci.co.uk/real.jpg"),
         ("text", "Para three.", ""),
     ]
 
@@ -116,13 +119,18 @@ def test_sohu_positional_image_join():
     ]
 
 
+# reference-shaped markup: the reference's selectors are EXACT class
+# matches — figure.detail__media-image under detail__media, and the
+# double-class body div (detik_news.py:97-137)
 DETIK_HTML = """
 <html><body><h1 class="detail__title">Detik Title</h1>
-<div class="detail__media"><img src="https://d.cc/cover.jpg"/></div>
-<div class="detail__body-text">
+<article class="detail">
+<div class="detail__media"><figure class="detail__media-image">
+<img src="https://d.cc/cover.jpg"/></figure></div>
+<div class="detail__body-text itp_bodycontent">
 <p>Body para.</p>
 <img src="https://d.cc/body.jpg"/>
-</div></body></html>
+</div></article></body></html>
 """
 
 
@@ -130,6 +138,7 @@ def test_detik_cover_first():
     out = P.parse_detik(DETIK_HTML, "u")
     assert out["spans"][0] == ("image", "", "https://d.cc/cover.jpg")
     assert out["spans"][1] == ("text", "Body para.", "")
+    assert out["spans"][2] == ("image", "", "https://d.cc/body.jpg")
 
 
 WECHAT_DOM_HTML = """

@@ -1,0 +1,164 @@
+"""Reference-parser parity harness — the machine check for the engine's
+central claim (BASELINE.json input_hint: per-row span-sequence equality
+on (kind, text, media_ref, order) vs the reference).
+
+For every one of the 11 platform dialects this imports the REAL
+reference crawler from /root/reference (importable here via the stdlib
+shims in tests/refshim — parsel/tenacity/demjson3 wheels are absent
+from the container), runs ``parse_content`` on the shared synthetic
+fixture corpus (newscrawler_spark.synth — the same pages the whole
+engine is tested and benchmarked on, including the edge-case variants:
+wechat Vue-SSR cgiDataNew pages, sohu trailing-comma imgsList, tencent
+window.DATA, BBC grey-placeholder figures, naver iframe indirection),
+and asserts span-by-span equality against the engine's ``extract_one``.
+
+Reference entry points exercised per dialect (parse_content is a pure
+function of HTML — core/base.py:88):
+  toutiao  toutaio_news.py:133   netease netease_news.py:153
+  wechat   wechat_news.py:562    sohu    sohu_news.py:222
+  tencent  tencent_news.py:176   bbc     bbc_news.py:199
+  cnn      cnn_news.py:174       detik   detik_news.py:166
+  lenny    lennysnewsletter.py:317  naver naver_news.py:218
+  quora    quora_answer.py:158
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).parent))
+from refshim import install  # noqa: E402
+
+install()
+
+from newscrawler_spark.functions.extract import extract_one  # noqa: E402
+from newscrawler_spark.sources.fetch import iframe_target_py  # noqa: E402
+
+N_PAGES = 1500          # synth corpus size (spreads over all 11 dialects)
+MAX_PER_PLATFORM = 12   # parity sample per dialect
+
+CRAWLERS = {
+    "toutiao": ("news_crawler.toutiao_news.toutaio_news", "ToutiaoNewsCrawler"),
+    "wechat": ("news_crawler.wechat_news.wechat_news", "WeChatNewsCrawler"),
+    "netease": ("news_crawler.netease_news.netease_news", "NeteaseNewsCrawler"),
+    "sohu": ("news_crawler.sohu_news.sohu_news", "SohuNewsCrawler"),
+    "tencent": ("news_crawler.tencent_news.tencent_news", "TencentNewsCrawler"),
+    "bbc": ("news_crawler.bbc_news.bbc_news", "BBCNewsCrawler"),
+    "cnn": ("news_crawler.cnn_news.cnn_news", "CNNNewsCrawler"),
+    "detik": ("news_crawler.detik_news.detik_news", "DetikNewsCrawler"),
+    "lenny": ("news_crawler.lennysnewsletter.lennysnewsletter", "LennysNewsletterCrawler"),
+    "naver": ("news_crawler.naver_news.naver_news", "NaverNewsCrawler"),
+    "quora": ("news_crawler.quora.quora_answer", "QuoraAnswerCrawler"),
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """{platform: [(url, html)]} from the shared synthetic web; naver
+    holder pages are resolved to their iframe-target html exactly like
+    the fetch stage does (both parsers receive the CONTENT page — the
+    reference's fetch_content swaps the URL the same way,
+    naver_news.py:179-195)."""
+    from newscrawler_spark.canonical import with_url_identity
+    from newscrawler_spark.synth import synth_pages
+
+    pages = synth_pages(spark, N_PAGES).filter(F.col("status") == 200)
+    ident = with_url_identity(pages.select("url"))
+    rows = (
+        pages.join(ident.select("url", "platform"), "url")
+        .select("url", "platform", "html")
+        .collect()
+    )
+    html_by_url = {r.url: r.html for r in rows}
+    out: dict[str, list[tuple[str, str]]] = {}
+    for r in rows:
+        html = r.html
+        if r.platform == "naver":
+            target = iframe_target_py(html, r.url)
+            if target is None or target not in html_by_url:
+                continue
+            html = html_by_url[target]
+        bucket = out.setdefault(r.platform, [])
+        if len(bucket) < MAX_PER_PLATFORM:
+            bucket.append((r.url, html))
+    return out
+
+
+def _ref_spans(item) -> list[tuple[str, str | None, str | None]]:
+    """NewsItem.contents -> (kind, text, media_ref) triples (the
+    reference puts text payloads and media URLs both in .content —
+    core/models.py:47-52)."""
+    spans = []
+    for c in item.contents:
+        kind = c.type.value if hasattr(c.type, "value") else str(c.type)
+        if kind == "text":
+            spans.append((kind, c.content or None, None))
+        else:
+            spans.append((kind, None, c.content or None))
+    return spans
+
+
+def _eng_spans(result) -> list[tuple[str, str | None, str | None]]:
+    # engine empty-string sentinels normalize to None (the reference
+    # leaves unused payload fields unset)
+    return [
+        (s["kind"], s["text"] or None, s["media_ref"] or None)
+        for s in result["spans"]
+    ]
+
+
+@pytest.mark.parametrize("platform", sorted(CRAWLERS))
+def test_reference_parser_parity(platform, corpus, monkeypatch):
+    import importlib
+
+    mod_name, cls_name = CRAWLERS[platform]
+    crawler_cls = getattr(importlib.import_module(mod_name), cls_name)
+    if platform == "naver":
+        # NaverNewsCrawler.__init__ fetches the holder page to resolve
+        # the iframe URL (naver_news.py:184-195) — the only network call
+        # outside fetch_content.  parse_content itself is pure; the
+        # corpus fixture already resolved the hop the same way.
+        monkeypatch.setattr(
+            crawler_cls, "get_iframe_url_path", lambda self: self.new_url
+        )
+
+    pages = corpus.get(platform, [])
+    assert pages, f"no synthetic {platform} pages generated"
+
+    for url, html in pages:
+        ref_item = crawler_cls(url).parse_content(html)
+        eng = extract_one(html, url, platform)
+        assert eng["error"] is None, f"{url}: engine error {eng['error']}"
+
+        ref = _ref_spans(ref_item)
+        got = _eng_spans(eng)
+        assert got == ref, (
+            f"span sequence mismatch for {url}\n"
+            f"  ref ({len(ref)}): {ref[:8]}\n"
+            f"  eng ({len(got)}): {got[:8]}"
+        )
+        # offsets are the explicit document order (input_hint): 0..n-1
+        assert [s["offset"] for s in eng["spans"]] == list(range(len(got)))
+        assert (eng["title"] or None) == (ref_item.title or None), url
+
+
+def test_quora_reference_fixture_parity():
+    """The reference's own committed live-response fixture (the one real
+    captured page in its test suite — news_crawler/quora/test/)."""
+    import importlib
+
+    fixture = Path("/root/reference/news_crawler/quora/test/response.html")
+    html = fixture.read_text(encoding="utf-8")
+    url = "https://www.quora.com/What-is-x/answer/Someone-1"
+    crawler_cls = getattr(
+        importlib.import_module("news_crawler.quora.quora_answer"), "QuoraAnswerCrawler"
+    )
+    ref_item = crawler_cls(url).parse_content(html)
+    eng = extract_one(html, url, "quora")
+    assert eng["error"] is None
+    assert _eng_spans(eng) == _ref_spans(ref_item)
+    assert (eng["title"] or None) == (ref_item.title or None)
