@@ -47,17 +47,70 @@ def platform_config_df(spark) -> DataFrame:
     return spark.createDataFrame(rows, "platform string, impersonate string, user_agent string")
 
 
-def with_fetch_config(frontier: DataFrame, config: DataFrame) -> DataFrame:
+class HeaderBootstrap:
+    """S4 — per-host header/cookie bootstrap with TTL-cached refresh,
+    the engine's twin of the reference's browser-driven header cache
+    (/root/reference/libs/playwright_driver.py:26-87: one real-browser
+    visit per host, cached 600 s, refreshed on expiry).
+
+    Engine shape: the expensive bootstrap runs on the DRIVER between
+    crawl rounds (never in executors — a browser per task would be
+    absurd at 10^10 URLs); the resulting host→headers table is broadcast
+    and merged onto frontier rows by with_fetch_config.  TTL is counted
+    in ROUNDS (deterministic — wall clocks never reach outputs; at the
+    reference's ~1 fetch/s budgets a round ≈ 60 s, so ttl_rounds=10
+    matches the 600 s TTL).
+
+    `provider` is the production seam: host -> {header: value}, backed
+    by playwright/DrissionPage where those ship.  This container has no
+    browser, so the default provider is None (no bootstrapped hosts —
+    static platform config still applies); tests inject a fake.
+    """
+
+    def __init__(self, provider=None, ttl_rounds: int = 10):
+        self.provider = provider
+        self.ttl_rounds = ttl_rounds
+        self._cache: dict[str, tuple[int, dict[str, str]]] = {}
+
+    def refresh(self, hosts, round_no: int) -> None:
+        """Round-boundary hook: (re)bootstrap any host whose entry is
+        missing or older than ttl_rounds."""
+        if self.provider is None:
+            return
+        for h in hosts:
+            hit = self._cache.get(h)
+            if hit is None or round_no - hit[0] >= self.ttl_rounds:
+                self._cache[h] = (round_no, dict(self.provider(h)))
+
+    def config_df(self, spark) -> DataFrame | None:
+        """(host, boot_headers) broadcast table; None when empty."""
+        if not self._cache:
+            return None
+        rows = [(h, hdrs) for h, (_, hdrs) in sorted(self._cache.items())]
+        return spark.createDataFrame(
+            rows, "host string, boot_headers map<string,string>"
+        )
+
+
+def with_fetch_config(
+    frontier: DataFrame,
+    config: DataFrame,
+    boot_config: DataFrame | None = None,
+) -> DataFrame:
     """Broadcast-join fetch config onto frontier rows; unmatched
     platforms fall back to the plain fetcher.  Adds a `headers` map
-    column (RequestHeaders shape, core/models.py:18-36)."""
+    column (RequestHeaders shape, core/models.py:18-36).  When a
+    HeaderBootstrap config is given, its per-host headers override the
+    static defaults (map_concat right-biased merge), mirroring the
+    reference's bootstrap-over-defaults precedence
+    (playwright_driver.py:60-86)."""
     cfg = config.select(
         F.col("platform").alias("cf_platform"), "impersonate", "user_agent"
     )
     out = frontier.join(
         F.broadcast(cfg), frontier["platform"] == cfg["cf_platform"], "left"
     ).drop("cf_platform")
-    return out.withColumn(
+    out = out.withColumn(
         "impersonate", F.coalesce(F.col("impersonate"), F.lit("requests"))
     ).withColumn(
         "headers",
@@ -68,6 +121,26 @@ def with_fetch_config(frontier: DataFrame, config: DataFrame) -> DataFrame:
             F.lit("en-US,en;q=0.9"),
         ),
     ).drop("user_agent")
+    if boot_config is not None:
+        bc = boot_config.select(F.col("host").alias("bc_host"), "boot_headers")
+        out = (
+            out.join(F.broadcast(bc), out["domain"] == bc["bc_host"], "left")
+            .withColumn(
+                "headers",
+                F.when(
+                    F.col("boot_headers").isNotNull(),
+                    # right-biased merge over the key union: bootstrap
+                    # value wins where present, static default otherwise
+                    F.map_zip_with(
+                        "headers",
+                        "boot_headers",
+                        lambda k, v1, v2: F.coalesce(v2, v1),
+                    ),
+                ).otherwise(F.col("headers")),
+            )
+            .drop("bc_host", "boot_headers")
+        )
+    return out
 
 
 def with_flat_projections(docs: DataFrame, spans_col: str = "spans") -> DataFrame:

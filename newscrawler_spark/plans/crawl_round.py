@@ -78,6 +78,7 @@ def run_round(
     round_no: int,
     conf: RoundConfig,
     fetch_size_hint: int | None = None,
+    boot_config: "DataFrame | None" = None,
 ) -> RoundResult:
     spark = frontier.sparkSession
 
@@ -133,6 +134,12 @@ def run_round(
     # returns an error struct for non-200 rows (html is null), so every
     # downstream consumer — valid/invalid docs, http failures,
     # discovered out-links — reads the same persisted frame.
+    if boot_config is not None:
+        from ..operators.projections import platform_config_df, with_fetch_config
+
+        eligible = with_fetch_config(
+            eligible, platform_config_df(spark), boot_config
+        )
     fetched = fetcher.fetch(eligible, size_hint_rows=fetch_size_hint)
 
     from ..functions.extract import extract_udf

@@ -39,16 +39,26 @@ def crawl(
     max_rounds: int = 10,
     conf: RoundConfig | None = None,
     stop_after_round: int | None = None,
+    header_bootstrap=None,
 ) -> dict:
     """Run crawl rounds until the frontier drains or max_rounds.
 
     `stop_after_round` simulates a kill for resumability tests: the run
     stops *after committing* that round, and a later crawl() call picks
     up from the manifest.
+    `header_bootstrap` (operators.projections.HeaderBootstrap) is the S4
+    seam: refreshed at every round boundary (TTL-gated), its host→headers
+    table is broadcast onto the round's eligible rows.
     Returns the final metrics dict (also persisted per round).
     """
     conf = conf or RoundConfig()
     totals: dict = {}
+
+    boot_hosts = (
+        [r.domain for r in budgets.select("domain").distinct().collect()]
+        if header_bootstrap is not None
+        else None
+    )
 
     import os as _os
     import sys as _sys
@@ -89,9 +99,15 @@ def crawl(
             else None
         )
 
+        boot_cfg = None
+        if header_bootstrap is not None:
+            header_bootstrap.refresh(boot_hosts, round_no)
+            boot_cfg = header_bootstrap.config_df(spark)
+
         result: RoundResult = run_round(
             frontier, url_seen, bloom, budgets, robots, fetcher, round_no, conf,
             fetch_size_hint=(prev or {}).get("frontier_next"),
+            boot_config=boot_cfg,
         )
 
         # actions: write all deltas, then commit atomically (sequential —

@@ -193,3 +193,47 @@ def test_flat_projections_and_fetch_config(spark):
     assert by_url["https://mp.weixin.qq.com/s/SSGx"].impersonate == "chrome"
     assert by_url["https://x.test/a"].impersonate == "requests"
     assert by_url["https://x.test/a"].headers["User-Agent"] == "Mozilla/5.0"
+
+
+def test_header_bootstrap_ttl_and_merge(spark):
+    """S4: TTL-gated per-host refresh at round boundaries (the engine's
+    twin of the reference's 600 s browser-header cache,
+    playwright_driver.py:26-87) and right-biased header merge."""
+    from newscrawler_spark.operators.projections import (
+        HeaderBootstrap,
+        platform_config_df,
+        with_fetch_config,
+    )
+
+    calls: list[tuple[str, int]] = []
+
+    def provider(host):
+        calls.append(host)
+        return {"Cookie": f"c-{host}", "User-Agent": f"boot-{host}"}
+
+    hb = HeaderBootstrap(provider, ttl_rounds=10)
+    hosts = ["mp.weixin.qq.com", "x.test"]
+    hb.refresh(hosts, 0)
+    assert sorted(calls) == sorted(hosts)          # initial bootstrap
+    hb.refresh(hosts, 5)
+    assert len(calls) == 2                         # within TTL: no refetch
+    hb.refresh(hosts, 10)
+    assert len(calls) == 4                         # TTL expiry: refetched
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://mp.weixin.qq.com/s/SSGx", "mp.weixin.qq.com", "wechat"),
+            ("https://other.test/a", "other.test", None),
+        ],
+        "url string, domain string, platform string",
+    )
+    rows = with_fetch_config(
+        frontier, platform_config_df(spark), hb.config_df(spark)
+    ).collect()
+    by_url = {r.url: r for r in rows}
+    boot = by_url["https://mp.weixin.qq.com/s/SSGx"].headers
+    assert boot["Cookie"] == "c-mp.weixin.qq.com"          # bootstrapped
+    assert boot["User-Agent"] == "boot-mp.weixin.qq.com"   # override wins
+    assert boot["Accept-Language"] == "en-US,en;q=0.9"     # default kept
+    plain = by_url["https://other.test/a"].headers
+    assert plain["User-Agent"] == "Mozilla/5.0" and "Cookie" not in plain
