@@ -65,6 +65,16 @@ def _descendants(pid: int) -> list[int]:
     return out
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor steal
+    during a timed section explains run-to-run swings on this VM."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def pin_cpu_budget(cores: int) -> None:
     """Bound this process AND its tree (JVM, pandas-UDF python workers)
     to `cores` CPUs — local[N] alone only limits JVM task threads;
@@ -134,11 +144,18 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         robots = synth.synth_robots(spark)
         conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
         pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
+        steal0, total0 = _cpu_stat()
         t0 = time.time()
         seed_frontier(cat, frontier)
         totals = crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
                        max_rounds=rounds, conf=conf)
         wall = time.time() - t0
+        steal1, total1 = _cpu_stat()
+        steal_pct = (
+            round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+            if total1 > total0
+            else 0.0
+        )
         scheduled = sum(c["scheduled"] for c in totals.values())
         docs = sum(c["docs"] for c in totals.values())
         steady = {r: c for r, c in totals.items() if r >= 2}
@@ -154,6 +171,7 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
             "steady_urls_per_sec": round(steady_sched / steady_wall, 1)
             if steady_wall
             else None,
+            "steal_pct": steal_pct,
             "per_round": {r: c for r, c in totals.items()},
         }
     finally:
@@ -272,7 +290,11 @@ def main() -> None:
         # to a failure in the second half of the run
         try:
             small_cores = max(2, cpus // 4)
-            n_extract = int(os.environ.get("BENCH_EXTRACT_PAGES", str(n_urls * 10)))
+            n_extract = int(
+                os.environ.get(
+                    "BENCH_EXTRACT_PAGES", str(min(n_urls * 10, 1_500_000))
+                )
+            )
             ex_big = _in_subprocess("extract", cpus, n_extract)
             ex_small = _in_subprocess("extract", small_cores, n_extract)
             result["extract_stage_scaling"] = {
@@ -301,7 +323,7 @@ def main() -> None:
             }
         except Exception as exc:  # noqa: BLE001
             result["scaling_error"] = f"{type(exc).__name__}: {exc}"
-    result["value"] = round(time.time() - t_start, 2)
+    result["bench_wall_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(result))
 
 

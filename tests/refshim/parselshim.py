@@ -81,9 +81,7 @@ def _split_steps(path: str) -> list[tuple[str, str]]:
     steps: list[tuple[str, str]] = []
     cur, depth, quote = [], 0, None
     axis = "child"
-    pending_axis = None  # axis for the NEXT step
     i = 0
-    first_axis_used = False
 
     def flush(next_axis):
         nonlocal cur, axis
