@@ -260,6 +260,83 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve pairwise near-dup edges into duplicate CLUSTERS:
+    connected components by iterative min-label propagation, cluster id
+    = the smallest doc id in the component (the canonical survivor —
+    the same first-wins rule the reference's overwrite-by-id persistence
+    implies, base.py:99-107).
+
+    pairs: (doc_a, doc_b) near-dup edges (e.g. minhash_lsh_dedup
+    output).  Returns (doc_id, cluster_id, cluster_size) for EVERY doc
+    (singletons cluster with themselves).
+
+    Shape: classic large-graph label propagation — per iteration one
+    join of labels against the symmetrized edge list (co-partitioned on
+    the id) + a min-aggregate, materialized via localCheckpoint so the
+    loop's lineage stays flat; converges in O(component diameter)
+    iterations (near-dup components are shallow).  The driver-side loop
+    with a convergence count per iteration is the documented iterative
+    pattern (SURVEY §4: driver-level control flow, not plan rewrites).
+    Deterministic: min() is order-insensitive.
+    """
+    nodes = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,94 @@ def lsh_topk(
     )
 
 
+def ivf_centroid(dim: int, c: int, seed: int = 11) -> list[float]:
+    """Deterministic pseudo-random coarse-quantizer centroid in [-1, 1]
+    per component, derived from md5 so any engine regenerates the same
+    table (driver-side literals, like `hyperplane`)."""
+    from ..xhash import md5_64_py
+
+    return [
+        (md5_64_py(f"ivf:{seed}:{c}:{d}") % 2_000_001) / 1_000_000.0 - 1.0
+        for d in range(dim)
+    ]
+
+
+def _centroid_rank_structs(
+    v: Column, dim: int, n_centroids: int, seed: int
+) -> Column:
+    """array<struct<negdot, cid>> — lexicographic min = best centroid
+    (max dot, ties to the lower centroid id).  Dots are sequential
+    folds; negation is IEEE-exact, so cross-engine ordering matches."""
+    items = []
+    for c in range(n_centroids):
+        cen = F.array(*[F.lit(x) for x in ivf_centroid(dim, c, seed)])
+        items.append(
+            F.struct((-dot(v, cen)).alias("negdot"), F.lit(c).alias("cid"))
+        )
+    return F.array(*items)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer assigns every
+    corpus vector to its nearest centroid cell (one cell per vector);
+    each query probes its `n_probe` nearest cells and ranks candidates
+    by exact cosine.  Returns (query_id, neighbor_id, rank, cosine).
+
+    Scale shape (the brief's 'IVF variant as the scale path'): the
+    corpus is scanned once to compute cell ids (JVM-side fold dots
+    against literal centroids — no Python), the candidate join is an
+    equi-join on the small int cell id (shuffle key cardinality =
+    n_centroids × queries' probes), and the per-query exact rank runs
+    over ~corpus·n_probe/n_centroids candidates instead of the full
+    corpus.  Each (query, neighbor) pair arises at most once (a
+    neighbor lives in exactly one cell), so no dedup aggregate is
+    needed; the final window is bounded by the map-side partial top-k.
+    """
+    c_structs = _centroid_rank_structs(_vec(vec_col), dim, n_centroids, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vec(vec_col).alias("c_vec"),
+        F.array_min(c_structs)["cid"].alias("cid"),
+    )
+    q_structs = _centroid_rank_structs(_vec(vec_col), dim, n_centroids, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _vec(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(q_structs), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    partial = _partial_topk(
+        scored.select("query_id", "neighbor_id", "cosine"), k
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     block_col: str,

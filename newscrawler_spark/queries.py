@@ -528,7 +528,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in `verified` = the MinHash→LSH→
+    Jaccard-verified near-dup pairs (threshold 0.05) — used by both the
+    minhash_lsh oracle and the dup_clusters recursive-CTE oracle."""
     min_exprs = []
     for j in range(16):
         seeded = "s || '#" + str(j) + "'"
@@ -538,8 +541,7 @@ def _sql_minhash() -> str:
         md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
         for b in range(8)
     )
-    return f"""
-WITH {SHINGLE3_CTE},
+    return f"""{SHINGLE3_CTE},
 sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
 banded AS (SELECT doc_id,
                   unnest(range(8)) AS band,
@@ -551,18 +553,50 @@ cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
           FROM sh a JOIN sh b USING (sh)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT c.doc_a, c.doc_b,
-       p.common / (sa.sz + sb.sz - p.common) AS jaccard
-FROM cands c
-JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.05
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+verified AS (SELECT c.doc_a, c.doc_b,
+                    p.common / (sa.sz + sb.sz - p.common) AS jaccard
+             FROM cands c
+             JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+             JOIN sizes sa ON sa.doc_id = c.doc_a
+             JOIN sizes sb ON sb.doc_id = c.doc_b
+             WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.05)"""
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
-SQL_MINHASH_LSH = _sql_minhash()
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs
+    (iterative min-label propagation — SURVEY §4's driver-level
+    iterative control flow); oracle = a recursive CTE computing the
+    same components in DuckDB."""
+    docs = _doc(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(
+        docs, k=3, n_hashes=16, band_size=2, threshold=0.05
+    )
+    return DD.dup_clusters(docs, pairs)
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_ctes()},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.src, r.label FROM reach r JOIN e ON e.dst = r.doc_id
+    WHERE r.label < e.src
+),
+lbl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM lbl
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +803,55 @@ SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= {k}
 
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh()
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer cells + n_probe search).  The DuckDB
+    oracle reproduces cell assignment exactly: shared md5-derived
+    centroid literals + sequential-fold dots (same recipe as the LSH
+    oracle), ties broken by centroid id on both engines."""
+    emb = _doc(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_topk(emb, queries, dim=64, k=10, n_centroids=16, n_probe=4)
+
+
+def _sql_ann_ivf(
+    dim: int = 64, n_centroids: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    def cen_lit(c: int) -> str:
+        return "[" + ", ".join(repr(x) for x in SIM.ivf_centroid(dim, c)) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(v, {cen_lit(c)})" for c in range(n_centroids)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v,
+             unnest(range({n_centroids})) AS cid,
+             unnest([{dots}]) AS d
+      FROM e),
+ranked AS (SELECT vec_id, v, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, cid) AS rn
+           FROM a),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cid
+      FROM ranked WHERE rn <= {n_probe} AND vec_id < 8),
+s AS (SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_raw
+      FROM q JOIN c USING (cid)
+      WHERE c.neighbor_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_raw DESC, neighbor_id))::INT AS rank,
+             round(cos_raw, 6) AS cosine
+      FROM s)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf()
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,12 +1114,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "text_stats": q_text_stats,
     "token_stats_by_source": q_token_stats_by_source,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_decode": q_multimodal_decode,
     "events_tumbling": q_events_tumbling,
@@ -1063,12 +1148,14 @@ ORACLES: dict[str, str] = {
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "token_stats_by_source": SQL_TOKEN_STATS_BY_SOURCE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "events_tumbling": SQL_EVENTS_TUMBLING,

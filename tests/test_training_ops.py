@@ -94,6 +94,44 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert len(top) == 5
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    import math
+
+    n, dim = 400, 16
+    rows = []
+    for i in range(n):
+        vec = [math.sin(i * 31 + d * 7) for d in range(dim)]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    approx = SIM.ivf_topk(emb, queries, dim=dim, k=10, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every emitted pair's cosine matches the exact computation
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in ex:
+            assert ex[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_dup_clusters_components(spark):
+    """Hand graph: {1,2,3} chained, {4,5} paired, {6} singleton →
+    cluster id = min member, sizes correct."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in DD.dup_clusters(docs, pairs).collect()}
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 2), 5: (4, 2), 6: (6, 1),
+    }
+
+
 def test_textops_quality_and_langid(spark):
     rows = [
         (0, "the cat sat on the mat and the dog ran to the park with a ball"),
