@@ -1081,6 +1081,36 @@ FROM d WHERE round_window < 2 GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the ACTUAL custom stateful streaming operator
+    (streaming/stateful.py: applyInPandasWithState buffering state, per
+    user, closed by sentinel rows) over the events table and drains it
+    with Trigger.AvailableNow.  The drained result is bit-identical to
+    batch sessionize, so the ordinary sessionize SQL is the oracle for
+    a genuinely stateful streaming pipeline."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import sessionize_stream, write_sentinels
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _doc(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="statefulq_")
+    events_dir = base + "/events"
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, events_dir)
+    else:
+        os.makedirs(events_dir)
+        shutil.copy(src, events_dir + "/part-data.parquet")
+    write_sentinels(spark, ev, events_dir)
+    out = base + "/out"
+    ckpt = base + "/ckpt"
+    sessionize_stream(spark, events_dir, out, ckpt, gap_minutes=30)
+    return spark.read.parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1128,6 +1158,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "search_sweep": q_search_sweep,
     "stream_metrics": q_stream_metrics,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1162,4 +1193,8 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "search_sweep": SQL_SEARCH_SWEEP,
     "stream_metrics": SQL_STREAM_METRICS,
+    # the drained AvailableNow result of the stateful sessionizer is
+    # bit-identical to batch sessionize by construction, so the batch
+    # SQL is the oracle for the genuinely-streaming operator
+    "stream_sessionize": SQL_EVENTS_SESSIONIZE,
 }

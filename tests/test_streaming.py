@@ -107,6 +107,67 @@ def test_seed_stream_foreachbatch_matches_batch(spark):
     assert a == b and len(a) > 0
 
 
+def test_stateful_sessionize_state_survives_restart(spark):
+    """applyInPandasWithState buffering state must persist in the state
+    store across query restarts: drain once with NO sentinels (all
+    state buffered, nothing emitted), then add the sentinel file and
+    drain again from the same checkpoint — the second run must emit the
+    complete batch-identical session set from restored state."""
+    import os
+    import shutil
+    import tempfile
+
+    from newscrawler_spark.operators.events import sessionize
+    from newscrawler_spark.streaming.stateful import (
+        sessionize_stream,
+        write_sentinels,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="stateful_")
+    events_dir = base + "/events"
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, events_dir)
+    else:
+        os.makedirs(events_dir)
+        shutil.copy(src, events_dir + "/part-data.parquet")
+    out, ckpt = base + "/out", base + "/ckpt"
+
+    # drain 1: no sentinels → everything buffered, nothing emitted
+    sessionize_stream(spark, events_dir, out, ckpt, gap_minutes=30)
+    import glob
+
+    emitted = sum(
+        spark.read.parquet(out).count()
+        for _ in [0]
+        if glob.glob(out + "/*.parquet")
+    )
+    assert emitted == 0
+
+    # drain 2 (restart from the same checkpoint): sentinels close every
+    # user; sessions must come from RESTORED state
+    ev = spark.read.parquet(src)
+    write_sentinels(spark, ev, events_dir)
+    sessionize_stream(spark, events_dir, out, ckpt, gap_minutes=30)
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.start_epoch, r.end_epoch)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (
+            r.user_id,
+            r.session_id,
+            r.n_events,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+        )
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_seed_stream_second_batch_merges_pending_frontier(spark):
     """A later micro-batch against an already-crawled catalog takes the
     merge path (read pending frontier delta + overwrite the same path) —
