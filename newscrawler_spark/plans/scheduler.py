@@ -59,6 +59,13 @@ def crawl(
         if header_bootstrap is not None
         else None
     )
+    # budget table rows, collected ONCE (KB-scale): lets small rounds
+    # fold budget accounting driver-side with zero Spark jobs
+    budget_rows = budgets.select("domain", "capacity", "window_s").collect()
+    # above this many scheduled rows the per-domain fold goes back to a
+    # distributed job (driver-side DuckDB over the order partition would
+    # otherwise read GBs on one node)
+    BUDGET_LOCAL_MAX_ROWS = 5_000_000
 
     import os as _os
     import sys as _sys
@@ -128,17 +135,26 @@ def crawl(
 
         # bloom + budget accounting both re-read the just-written (small)
         # round_log delta — partition-pruned by kind, column-pruned —
-        # instead of re-executing the round lineage
+        # instead of re-executing the round lineage.  Small rounds fold
+        # both on the DRIVER (DuckDB + numpy/pyarrow, bit-identical
+        # kernels, zero Spark jobs); big rounds use the distributed path.
         log_round = catalog.read_round_log_delta(spark, round_no)
-        seen_round = log_round.filter(F.col("kind") == "seen").select(
-            "url_hash", "bucket"
-        )
-        new_bloom = (
-            build_bloom(seen_round, conf.n_buckets, conf.m_bits)
-            if bloom is None
-            else merge_bloom(bloom, seen_round, conf.n_buckets, conf.m_bits)
-        )
-        _t(round_no, "write bloom", lambda: catalog.write_delta(new_bloom, "bloom", round_no))
+        if log_counts["seen"] <= BUDGET_LOCAL_MAX_ROWS:
+            _t(round_no, "write bloom (local)", lambda: catalog.write_bloom_local(
+                round_no,
+                round_no - 1 if round_no > 0 else None,
+                conf.m_bits,
+            ))
+        else:
+            seen_round = log_round.filter(F.col("kind") == "seen").select(
+                "url_hash", "bucket"
+            )
+            new_bloom = (
+                build_bloom(seen_round, conf.n_buckets, conf.m_bits)
+                if bloom is None
+                else merge_bloom(bloom, seen_round, conf.n_buckets, conf.m_bits)
+            )
+            _t(round_no, "write bloom", lambda: catalog.write_delta(new_bloom, "bloom", round_no))
 
         counters = {
             "scheduled": log_counts["order"],
@@ -154,12 +170,17 @@ def crawl(
         from ..operators.scheduling import budget_accounting
 
         catalog.write_metrics_row(round_no, counters)
-        scheduled = log_round.filter(F.col("kind") == "order").select("domain")
-        _t(round_no, "write budget_state", lambda: catalog.write_delta(
-            budget_accounting(budgets, scheduled, round_no),
-            "budget_state",
-            round_no,
-        ))
+        if log_counts["order"] <= BUDGET_LOCAL_MAX_ROWS:
+            _t(round_no, "write budget_state (local)", lambda: (
+                catalog.write_budget_state_row_local(round_no, budget_rows)
+            ))
+        else:
+            scheduled = log_round.filter(F.col("kind") == "order").select("domain")
+            _t(round_no, "write budget_state", lambda: catalog.write_delta(
+                budget_accounting(budgets, scheduled, round_no),
+                "budget_state",
+                round_no,
+            ))
         catalog.commit_round(round_no, counters)
         result.unpersist()
         totals[round_no] = counters

@@ -153,6 +153,130 @@ class Catalog:
         )
         pq.write_table(table, path / "part-00000.parquet")
 
+    def write_budget_state_row_local(
+        self,
+        round_no: int,
+        budget_rows,
+        window_s_default: int = 60,
+    ) -> None:
+        """A4 driver-side: fold the round's per-domain consumption (read
+        straight from the just-written round_log order partition with
+        in-process DuckDB) into the budget table and write the delta
+        with pyarrow — zero Spark jobs.  Same arithmetic as
+        operators.scheduling.budget_accounting (which remains the
+        distributed path for rounds too big to fold on the driver)."""
+        import glob as _glob
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        order_glob = f"{self.delta_path('round_log', round_no)}/kind=order/*.parquet"
+        used: dict[str, int] = {}
+        if _glob.glob(order_glob):
+            for dom, n in duckdb.sql(
+                f"SELECT domain, count(*) FROM '{order_glob}' GROUP BY domain"
+            ).fetchall():
+                used[dom] = int(n)
+        doms, caps, wins, useds, rems, resets = [], [], [], [], [], []
+        for r in budget_rows:
+            u = used.get(r["domain"], 0)
+            doms.append(r["domain"])
+            caps.append(r["capacity"])
+            wins.append(r["window_s"])
+            useds.append(u)
+            rems.append(max(0, int(r["capacity"]) - u))
+            resets.append(
+                float(
+                    (round_no + 1)
+                    * (r["window_s"] if r["window_s"] is not None else window_s_default)
+                )
+            )
+        table = pa.table(
+            {
+                "domain": pa.array(doms, type=pa.string()),
+                "capacity": pa.array(caps, type=pa.int32()),
+                "window_s": pa.array(wins, type=pa.int32()),
+                "used": pa.array(useds, type=pa.int64()),
+                "remaining": pa.array(rems, type=pa.int64()),
+                "reset_ts": pa.array(resets, type=pa.float64()),
+            }
+        )
+        path = Path(self.delta_path("budget_state", round_no))
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, path / "part-00000.parquet")
+
+    def write_bloom_local(
+        self,
+        round_no: int,
+        prev_round: int | None,
+        m_bits: int,
+    ) -> None:
+        """Bloom sidecar build/merge on the DRIVER for small rounds —
+        zero Spark jobs: the round's (bucket, url_hash) seen rows are
+        read with in-process DuckDB, OR-ed into the previous round's
+        bitsets with the SAME numpy kernels the distributed path uses
+        (operators.seen._build_bitset — bit-for-bit identical sidecars
+        either way), and written back with pyarrow.  Total sidecar size
+        is n_buckets × m_bits/8 (tens of MB at sandbox scale); rounds
+        past the scheduler's threshold use the distributed
+        build_bloom/merge_bloom instead."""
+        import glob as _glob
+
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.seen import _build_bitset
+
+        seen_glob = f"{self.delta_path('round_log', round_no)}/kind=seen/*.parquet"
+        by_bucket: dict[int, "np.ndarray"] = {}
+        if _glob.glob(seen_glob):
+            rel = duckdb.sql(
+                f"SELECT bucket, list(url_hash) FROM '{seen_glob}' GROUP BY bucket"
+            )
+            for bucket, hashes in rel.fetchall():
+                bits = _build_bitset(np.array(hashes, dtype=np.int64), m_bits)
+                by_bucket[int(bucket)] = np.frombuffer(bits, dtype=np.uint8).copy()
+        counts: dict[int, int] = {
+            b: 0 for b in by_bucket
+        }
+        if _glob.glob(seen_glob):
+            for bucket, n in duckdb.sql(
+                f"SELECT bucket, count(*) FROM '{seen_glob}' GROUP BY bucket"
+            ).fetchall():
+                counts[int(bucket)] = int(n)
+
+        if prev_round is not None:
+            prev_glob = f"{self.delta_path('bloom', prev_round)}/*.parquet"
+            for bucket, bits, n in duckdb.sql(
+                f"SELECT bucket, bitset, n_items FROM '{prev_glob}'"
+            ).fetchall():
+                bucket = int(bucket)
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                if bucket in by_bucket:
+                    by_bucket[bucket] |= arr
+                else:
+                    by_bucket[bucket] = arr.copy()
+                counts[bucket] = counts.get(bucket, 0) + int(n)
+
+        buckets = sorted(by_bucket)
+        table = pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "bitset": pa.array(
+                    [by_bucket[b].tobytes() for b in buckets], type=pa.binary()
+                ),
+                "n_items": pa.array(
+                    [counts.get(b, 0) for b in buckets], type=pa.int64()
+                ),
+            }
+        )
+        path = Path(self.delta_path("bloom", round_no))
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, path / "part-00000.parquet")
+
     def _delta_paths(self, table: str, last: int) -> list[str]:
         return [
             self.delta_path(table, r)

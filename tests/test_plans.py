@@ -118,6 +118,32 @@ def test_salt_domains_spreads_mega_host(spark):
     assert n_parts >= 4  # 8 salts over 16 partitions → ≥4 distinct in practice
 
 
+def test_seen_probe_is_single_pass_and_slim(spark):
+    """The bloom probe must appear exactly ONCE in the plan (the old
+    filter-union shape executed it per branch) and must cogroup only the
+    slim (bucket, url_hash) projection — full-width candidate rows never
+    cross the Arrow boundary."""
+    from newscrawler_spark.operators.seen import build_bloom, filter_unseen
+
+    cand = synth.synth_frontier(spark, 200).withColumn(
+        "canonical_url", F.col("url")
+    )
+    seen = cand.limit(50).select(
+        F.xxhash64("canonical_url").alias("url_hash"),
+        F.pmod(F.xxhash64("canonical_url"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    bloom = build_bloom(seen, 8, 1 << 16)
+    out = filter_unseen(cand, seen, bloom, 8, 1 << 16)
+    plan = _plan(out)
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan[:2000]
+    import re
+
+    m = re.search(r"FlatMapCoGroupsInPandas[^\n]*", plan)
+    # the python stage's output carries only the slim columns
+    assert m and "url_hash" in m.group(0)
+    assert "priority" not in m.group(0) and "source_seed" not in m.group(0)
+
+
 def test_url_identity_stays_whole_stage_codegen(spark):
     # the hot canonicalization chain (regex CASE dispatch, splits) must
     # stay inside whole-stage codegen; higher-order-function ops
@@ -127,3 +153,58 @@ def test_url_identity_stays_whole_stage_codegen(spark):
     out = with_url_identity(synth.synth_frontier(spark, 10))
     # '*(n)' prefixes mark operators inside a WholeStageCodegen stage
     assert _plan(out).startswith("*(")
+
+
+def test_local_bloom_bitsets_match_distributed(spark, tmp_path):
+    """The driver-side (DuckDB+numpy) bloom build must produce
+    byte-identical bitsets to the distributed build/merge path — the
+    sidecar is prune-only, so the crawl correctness tests would NOT
+    catch a divergence here."""
+    from newscrawler_spark.operators.seen import build_bloom, merge_bloom
+    from newscrawler_spark.sources.catalog import Catalog
+
+    m_bits = 1 << 16
+    cat = Catalog(tmp_path / "cat")
+
+    def seen_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8))
+            .cast("int")
+            .alias("bucket"),
+        )
+
+    def log_shape(df):
+        return df.select(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("string").alias("canonical_url"),
+            "url_hash",
+            "bucket",
+            F.lit(None).cast("string").alias("domain"),
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("int").alias("attempt"),
+            F.lit("seen").alias("kind"),
+        )
+
+    cat.write_round_log(log_shape(seen_df(0, 300)), 0)
+    cat.write_round_log(log_shape(seen_df(250, 600)), 1)
+
+    # driver-side build + merge
+    cat.write_bloom_local(0, None, m_bits)
+    cat.write_bloom_local(1, 0, m_bits)
+    local = {
+        r.bucket: (bytes(r.bitset), r.n_items)
+        for r in spark.read.parquet(cat.delta_path("bloom", 1)).collect()
+    }
+
+    # distributed build + merge over the same deltas
+    b0 = build_bloom(seen_df(0, 300), 8, m_bits)
+    b1 = merge_bloom(b0, seen_df(250, 600), 8, m_bits)
+    dist = {
+        r.bucket: (bytes(r.bitset), r.n_items) for r in b1.collect()
+    }
+    assert set(local) == set(dist)
+    for b in dist:
+        assert local[b][0] == dist[b][0], f"bitset differs for bucket {b}"
+        assert local[b][1] == dist[b][1]
