@@ -661,7 +661,7 @@ def _naver_text(node: Node) -> str | None:
     text = node.string().strip()
     if not text:
         return None
-    return text.replace(ZERO_WIDTH, "").replace("​", "")
+    return text.replace(ZERO_WIDTH, "")
 
 
 def _naver_list_item(node: Node) -> str | None:

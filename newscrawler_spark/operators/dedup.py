@@ -100,8 +100,8 @@ def jaccard_pairs(
     shingles are re-counted over the full (uncut) shingle sets for each
     surviving candidate pair, so emitted rows are never underestimated.
 
-    `log_fn`, when given (e.g. ``print``), runs one extra small job to
-    count and report dropped hot shingles; default None adds no job.
+    `log_fn`, when given (e.g. ``print``), counts and reports dropped
+    hot shingles (cheap — the shingle index is already materialized).
 
     Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs
     with jaccard >= threshold, doc_a < doc_b.
@@ -109,12 +109,17 @@ def jaccard_pairs(
     Scale shape: the hot set is tiny by construction (few shingles
     exceed the cutoff) → broadcast anti-join; candidate generation
     shuffles on the 64-bit shingle key with every group bounded by
-    df_cutoff; the verify join-back is co-partitioned on doc ids.  On a
-    cluster the shingle index would be checkpointed to a short-lived
-    table instead of being recomputed per consumer (same seam as
-    budget_gate's persist_fn).
+    df_cutoff; the verify join-back is co-partitioned on doc ids.  The
+    shingle index feeds SIX consumers (sizes, hot-set, both self-join
+    sides, both verify join-backs), so it is materialized ONCE up front
+    via an eager localCheckpoint — lineage-free, reused by every
+    consumer, and released by the context cleaner when the result goes
+    out of scope (on a cluster this would be a short-lived checkpoint
+    table).
     """
-    sh = _distinct_shingle_hashes(docs, id_col, text_col, k)
+    sh = _distinct_shingle_hashes(docs, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     hot = (
@@ -298,6 +303,7 @@ def dup_clusters(
         .localCheckpoint(eager=False)
     )
     labels = nodes.withColumn("label", F.col("doc_id"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -324,7 +330,17 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent partial convergence would split true components with no
+        # signal (and diverge from the exact recursive-CTE oracle) —
+        # fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge within "
+            f"{max_iterations} iterations (component diameter exceeds it); "
+            f"raise max_iterations"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

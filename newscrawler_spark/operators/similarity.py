@@ -60,9 +60,12 @@ def _partial_topk(slim: DataFrame, k: int) -> DataFrame:
     cosine): each batch keeps at most k rows per query, so the exchange
     feeding the exact per-query window carries ~k·batches·|Q| rows
     instead of N·|Q|.  Selection only — cosine doubles round-trip Arrow
-    bit-exactly and ordering matches the final window (cosine desc with
-    NaN first, the Spark NaN-is-largest convention; neighbor_id asc),
-    so the final result is identical to ranking the full scored set.
+    bit-exactly and ordering matches the final window: Spark's
+    `cosine.desc()` is NULLS LAST, and a zero-norm vector's cosine is
+    NULL (dot/0 → NULL, surfacing as NaN in the Arrow batch), so the
+    pandas sort uses na_position='last'.  Null rows therefore survive a
+    batch only when it has fewer than k real candidates — exactly the
+    cases where the exact single-window form could rank them.
     """
     schema = slim.schema
 
@@ -74,7 +77,7 @@ def _partial_topk(slim: DataFrame, k: int) -> DataFrame:
             pdf = pdf.sort_values(
                 ["cosine", "neighbor_id"],
                 ascending=[False, True],
-                na_position="first",
+                na_position="last",
                 kind="mergesort",
             )
             yield pdf.groupby("query_id", sort=False).head(k)

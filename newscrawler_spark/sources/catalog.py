@@ -185,7 +185,14 @@ class Catalog:
             caps.append(r["capacity"])
             wins.append(r["window_s"])
             useds.append(u)
-            rems.append(max(0, int(r["capacity"]) - u))
+            # NULL capacity = unbounded budget (budget_gate semantics):
+            # remaining stays NULL, matching the distributed path's
+            # null-propagating arithmetic
+            rems.append(
+                max(0, int(r["capacity"]) - u)
+                if r["capacity"] is not None
+                else None
+            )
             resets.append(
                 float(
                     (round_no + 1)
@@ -232,20 +239,15 @@ class Catalog:
 
         seen_glob = f"{self.delta_path('round_log', round_no)}/kind=seen/*.parquet"
         by_bucket: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
         if _glob.glob(seen_glob):
             rel = duckdb.sql(
-                f"SELECT bucket, list(url_hash) FROM '{seen_glob}' GROUP BY bucket"
+                f"SELECT bucket, list(url_hash), count(*) "
+                f"FROM '{seen_glob}' GROUP BY bucket"
             )
-            for bucket, hashes in rel.fetchall():
+            for bucket, hashes, n in rel.fetchall():
                 bits = _build_bitset(np.array(hashes, dtype=np.int64), m_bits)
                 by_bucket[int(bucket)] = np.frombuffer(bits, dtype=np.uint8).copy()
-        counts: dict[int, int] = {
-            b: 0 for b in by_bucket
-        }
-        if _glob.glob(seen_glob):
-            for bucket, n in duckdb.sql(
-                f"SELECT bucket, count(*) FROM '{seen_glob}' GROUP BY bucket"
-            ).fetchall():
                 counts[int(bucket)] = int(n)
 
         if prev_round is not None:

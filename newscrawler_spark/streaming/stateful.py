@@ -113,7 +113,18 @@ def sessionize_stream(
             state.update((buf_ts, buf_eid))
             # zero-yield generator path: nothing to emit this batch
 
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    # one micro-batch per drain: the sentinel protocol requires a user's
+    # events to never arrive AFTER their sentinel within a drain (a
+    # sentinel processed early would flush+remove state and orphan the
+    # later events).  An explicit huge maxFilesPerTrigger overrides any
+    # session-level default so AvailableNow reads every available file
+    # in a single batch; across SEPARATE drains the protocol is safe by
+    # construction (sentinels are written last, test-covered).
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(events_dir)
+    )
     q = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
