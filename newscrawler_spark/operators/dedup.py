@@ -117,24 +117,36 @@ def jaccard_pairs(
     out of scope (on a cluster this would be a short-lived checkpoint
     table).
     """
+    # A shingle's document frequency is bounded by the corpus row count
+    # (shingles are distinct per doc), so when n_docs <= df_cutoff the
+    # hot set is PROVABLY empty: skip the whole hot aggregation pass +
+    # broadcast anti-join (one parquet-metadata count buys back a full
+    # scan of the shingle index — at harness scale this was a 2x wall
+    # regression for a path that could never bite).  Semantics are
+    # unchanged: kept == sh exactly when no shingle can exceed the
+    # cutoff.
+    n_docs = docs.count()
     sh = _distinct_shingle_hashes(docs, id_col, text_col, k).localCheckpoint(
         eager=True
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > df_cutoff)
-        .select("sh")
-    )
-    if log_fn is not None:
-        n_hot = hot.count()
-        if n_hot:
-            log_fn(
-                f"jaccard_pairs: dropped {n_hot} hot shingles (df > {df_cutoff})"
-            )
-    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    if n_docs > df_cutoff:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > df_cutoff)
+            .select("sh")
+        )
+        if log_fn is not None:
+            n_hot = hot.count()
+            if n_hot:
+                log_fn(
+                    f"jaccard_pairs: dropped {n_hot} hot shingles (df > {df_cutoff})"
+                )
+        kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    else:
+        kept = sh
 
     a = kept.select(F.col("doc_id").alias("doc_a"), "sh")
     b = kept.select(F.col("doc_id").alias("doc_b"), "sh")

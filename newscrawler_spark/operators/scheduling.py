@@ -185,8 +185,14 @@ def budget_accounting(
 
     scheduled: rows with a `domain` column (the round's fetch_order).
     Returns the budgets table with (used, remaining, reset_ts) updated:
-    remaining = max(0, capacity - used); reset_ts advances one window
-    per round (round-wise time, deterministic — no wall clock).
+    remaining = max(0, capacity - used), NULL-propagating — a NULL
+    capacity means *unbounded* (budget_gate semantics), so remaining
+    stays NULL rather than collapsing to 0 ("exhausted").  The guard
+    matters because Spark's greatest() SKIPS nulls (greatest(0, NULL)
+    = 0), which would silently diverge from the driver-side fold
+    (catalog.write_budget_state_row_local) — byte-identity of the two
+    paths is asserted in tests/test_plans.py.  reset_ts advances one
+    window per round (round-wise time, deterministic — no wall clock).
     """
     used = scheduled.groupBy("domain").agg(F.count("*").alias("used"))
     out = budgets.join(used, "domain", "left").withColumn(
@@ -197,9 +203,12 @@ def budget_accounting(
         "capacity",
         "window_s",
         "used",
-        F.greatest(F.lit(0).cast("long"), F.col("capacity") - F.col("used")).alias(
-            "remaining"
-        ),
+        F.when(
+            F.col("capacity").isNotNull(),
+            F.greatest(
+                F.lit(0).cast("long"), F.col("capacity") - F.col("used")
+            ),
+        ).alias("remaining"),
         (
             (F.lit(round_no + 1))
             * F.coalesce(F.col("window_s"), F.lit(window_s_default)).cast("double")

@@ -491,19 +491,27 @@ FROM wl w LEFT JOIN mins m USING (doc_id)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys as _sys
+
     return DD.jaccard_pairs(
-        _doc(spark, sf_dir, "documents"), k=3, threshold=0.05
+        _doc(spark, sf_dir, "documents"), k=3, threshold=0.05,
+        log_fn=lambda m: print(m, file=_sys.stderr),
     )
 
 
-# Mirrors operators.dedup.jaccard_pairs exactly: hot shingles (document
-# frequency > JACCARD_DF_CUTOFF) are dropped from the inverted index
-# before candidate generation, but `common` is recomputed over the FULL
-# shingle sets per surviving candidate pair.
-SQL_JACCARD_PAIRS = f"""
+def sql_jaccard_pairs(df_cutoff: int = DD.JACCARD_DF_CUTOFF,
+                      threshold: float = 0.05) -> str:
+    """DuckDB twin of operators.dedup.jaccard_pairs, parameterized on the
+    SAME knobs: hot shingles (document frequency > df_cutoff) are dropped
+    from the inverted index before candidate generation, but `common` is
+    recomputed over the FULL shingle sets per surviving candidate pair.
+    tests/test_training_ops.py runs both engines at df_cutoff=2 on a
+    corpus with a known hot shingle, so the cutoff path itself is
+    machine-checked, not just the cutoff-never-bites default."""
+    return f"""
 WITH {SHINGLE3_CTE},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
-hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {DD.JACCARD_DF_CUTOFF}),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > {df_cutoff}),
 kept AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
 cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM kept a JOIN kept b USING (sh)
@@ -518,8 +526,11 @@ SELECT p.doc_a, p.doc_b, p.common, sa.sz AS size_a, sb.sz AS size_b,
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
-WHERE p.common / (sa.sz + sb.sz - p.common) >= 0.05
+WHERE p.common / (sa.sz + sb.sz - p.common) >= {threshold}
 """
+
+
+SQL_JACCARD_PAIRS = sql_jaccard_pairs()
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,6 +155,66 @@ def test_url_identity_stays_whole_stage_codegen(spark):
     assert _plan(out).startswith("*(")
 
 
+def test_local_budget_state_matches_distributed(spark, tmp_path):
+    """The driver-side budget-state fold (DuckDB count + pyarrow write)
+    must produce value- and type-identical rows to the distributed
+    budget_accounting path — INCLUDING a NULL-capacity (unbounded)
+    domain, where Spark's null-skipping greatest() once yielded
+    remaining=0 while the local fold wrote NULL."""
+    from newscrawler_spark.operators.scheduling import budget_accounting
+    from newscrawler_spark.sources.catalog import Catalog
+
+    cat = Catalog(tmp_path / "cat")
+    budgets = spark.createDataFrame(
+        [
+            ("a.com", None, 60),     # unbounded: remaining must stay NULL
+            ("b.org", 10, 60),
+            ("c.net", 2, 30),        # over-consumed: clamps at 0
+            ("idle.io", 5, 60),      # never scheduled: used=0
+        ],
+        "domain string, capacity int, window_s int",
+    )
+    order_rows = ["a.com"] * 3 + ["b.org"] * 4 + ["c.net"] * 5
+    log = spark.createDataFrame(
+        [(d,) for d in order_rows], "domain string"
+    ).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("canonical_url"),
+        F.lit(None).cast("long").alias("url_hash"),
+        F.lit(None).cast("int").alias("bucket"),
+        "domain",
+        F.lit(1).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("int").alias("attempt"),
+        F.lit("order").alias("kind"),
+    )
+    round_no = 0
+    cat.write_round_log(log, round_no)
+
+    # driver-side fold (reads the just-written order partition)
+    budget_rows = budgets.select("domain", "capacity", "window_s").collect()
+    cat.write_budget_state_row_local(round_no, budget_rows)
+    local_df = spark.read.parquet(cat.delta_path("budget_state", round_no))
+
+    # distributed fold over the same delta
+    scheduled = (
+        cat.read_round_log_delta(spark, round_no)
+        .filter(F.col("kind") == "order")
+        .select("domain")
+    )
+    dist_df = budget_accounting(budgets, scheduled, round_no)
+
+    assert dict(local_df.dtypes) == dict(dist_df.dtypes)
+    key = lambda r: r["domain"]  # noqa: E731
+    local = sorted((r.asDict() for r in local_df.collect()), key=key)
+    dist = sorted((r.asDict() for r in dist_df.collect()), key=key)
+    assert local == dist
+    by_dom = {r["domain"]: r for r in dist}
+    assert by_dom["a.com"]["remaining"] is None      # NULL propagates
+    assert by_dom["c.net"]["remaining"] == 0         # clamped
+    assert by_dom["idle.io"]["used"] == 0
+
+
 def test_local_bloom_bitsets_match_distributed(spark, tmp_path):
     """The driver-side (DuckDB+numpy) bloom build must produce
     byte-identical bitsets to the distributed build/merge path — the

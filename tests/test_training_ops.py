@@ -53,6 +53,54 @@ def test_jaccard_pairs_finds_planted_neardups(docs):
     assert not any({a, b} == {0, 3} for a, b in pairs)    # unrelated
 
 
+def test_jaccard_df_cutoff_drops_hot_shingles_and_matches_oracle(spark):
+    """Exercise the hot-shingle cutoff path itself (df_cutoff=2 on a
+    corpus whose planted shingle has df=4): pairs whose ONLY shared
+    shingle is hot disappear, surviving pairs keep EXACT jaccard over
+    the full sets, and Spark == DuckDB with the same cutoff."""
+    import duckdb
+    import pandas as pd
+
+    from newscrawler_spark.queries import sql_jaccard_pairs
+
+    rows = [
+        (1, "x y z a b"),   # shingles: "x y z"(hot), "y z a", "z a b"
+        (2, "x y z a c"),   # shares hot + "y z a" with doc 1
+        (3, "x y z d e"),   # shares ONLY the hot shingle with 1/2/4
+        (4, "x y z f g"),
+        (5, "p q r s t"),   # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    msgs: list[str] = []
+    got = DD.jaccard_pairs(
+        docs, k=3, threshold=0.2, df_cutoff=2, log_fn=msgs.append
+    ).collect()
+    # "x y z" has df=4 > 2 → dropped; the drop is REPORTED via log_fn
+    assert msgs and "1 hot shingles" in msgs[0]
+    # only (1,2) still shares a non-hot shingle ("y z a"); its jaccard is
+    # exact over the FULL sets: common={"x y z","y z a"}=2, sizes 3/3
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+    assert got[0].common == 2 and got[0].size_a == 3 and got[0].size_b == 3
+    assert got[0].jaccard == 2 / 4
+
+    # DuckDB oracle with the SAME cutoff formatted in — full-row equality
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.execute(sql_jaccard_pairs(df_cutoff=2, threshold=0.2)).fetchall()
+    spark_rows = sorted(
+        (r.doc_a, r.doc_b, r.common, r.size_a, r.size_b, r.jaccard) for r in got
+    )
+    assert spark_rows == sorted(oracle)
+
+    # with the default (never-biting) cutoff the hot-only pairs reappear
+    wide = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)} <= wide
+
+
 def test_minhash_lsh_agrees_with_exact_jaccard(docs):
     exact = {(r.doc_a, r.doc_b) for r in DD.jaccard_pairs(docs, threshold=0.5).collect()}
     lsh = {(r.doc_a, r.doc_b) for r in DD.minhash_lsh_dedup(docs, threshold=0.5).collect()}
