@@ -202,8 +202,15 @@ def domain_of(url: Column | str) -> Column:
 
 
 def domain_of_py(url: str) -> str:
+    """Twin of parse_url(HOST): authority minus userinfo minus port
+    (java.net.URI.getHost semantics — 'user:pw@host:8080' -> 'host').
+    The port strip matters: a loopback-crawl URL's budget/robots key
+    must be the same on both sides or the oracle misses the budget row.
+    """
     m = re.match(r"^https?://([^/?#\s]+)", url)
-    return m.group(1) if m else ""
+    if not m:
+        return ""
+    return m.group(1).rsplit("@", 1)[-1].split(":", 1)[0]
 
 
 def canonical_url(url: Column | str) -> Column:

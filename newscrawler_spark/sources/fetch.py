@@ -58,6 +58,63 @@ def iframe_target_py(html: str | None, base_url: str) -> str | None:
     return src
 
 
+# Link discovery (the engine's frontier-expansion loop).  The reference
+# expands its work queue from fetched payloads (next-page URLs,
+# /root/reference/video_crawler/pixabay/videos/downloader.py:91-98); the
+# general-crawl analog is anchor extraction.  href values are attribute
+# text: entity-decoded, then resolved browser-style against the URL the
+# HTML was actually served from (the iframe TARGET after an S3 hop —
+# relative links inside iframe content resolve against the frame src,
+# not the holder).  Fragments are dropped (never sent to a server; the
+# canonicalizer strips them from identity anyway); only http(s) results
+# survive; first-occurrence document order is kept so discovery is
+# deterministic.
+HREF_RE = r"""<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))"""
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def extract_links_py(
+    html: str | None, base_url: str, max_links: int | None = None
+) -> list[str]:
+    """Anchor hrefs of `html`, resolved against `base_url`, in document
+    order, first-occurrence-deduped, http(s)-only, fragment-stripped.
+
+    Shared by HttpFetcher (executor-side, per fetched page) and the
+    crawl-semantics oracle — one spec, two call sites.  `max_links`
+    bounds pathological pages (a 10^5-anchor page would otherwise fan
+    its whole anchor set into the frontier); None = unbounded, matching
+    FixtureFetcher's verbatim pass-through of the pages table.
+    """
+    import html as html_mod
+    import re
+    from urllib.parse import urljoin
+
+    if not html:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in re.finditer(HREF_RE, html, re.IGNORECASE):
+        raw = m.group(2) or m.group(3) or m.group(4) or ""
+        href = html_mod.unescape(raw).strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            resolved = urljoin(base_url, href)
+        except ValueError:
+            continue
+        resolved = resolved.split("#", 1)[0]
+        if not resolved.startswith(("http://", "https://")) or resolved in seen:
+            continue
+        seen.add(resolved)
+        out.append(resolved)
+        if max_links is not None and len(out) >= max_links:
+            break
+    return out
+
+
 def iframe_target_col(html_col, url_col):
     """Column twin of iframe_target_py (NULL when no iframe)."""
     src = F.regexp_extract(html_col, IFRAME_SRC_RE, 1)
@@ -178,18 +235,21 @@ class HttpFetcher:
 
     def __init__(self, max_attempts: int = FETCH_ATTEMPTS,
                  wait_s: float = FETCH_WAIT_S, timeout_s: float = FETCH_TIMEOUT_S,
-                 n_partitions: int = 64, salt_factor: int = 8):
+                 n_partitions: int = 64, salt_factor: int = 8,
+                 max_links_per_page: int | None = None):
         self.max_attempts = max_attempts
         self.wait_s = wait_s
         self.timeout_s = timeout_s
         self.n_partitions = n_partitions
         self.salt_factor = salt_factor
+        self.max_links_per_page = max_links_per_page
 
     def fetch(self, eligible: DataFrame, size_hint_rows: int | None = None) -> DataFrame:
         from ..operators.scheduling import salt_domains
 
         eligible = salt_domains(eligible, self.n_partitions, self.salt_factor)
         max_attempts, wait_s, timeout_s = self.max_attempts, self.wait_s, self.timeout_s
+        max_links = self.max_links_per_page
         out_schema = (
             eligible.schema.simpleString()[7:-1]
             + ",status int,html string,out_links array<string>,attempts int"
@@ -203,7 +263,7 @@ class HttpFetcher:
 
             session = requests.Session()
             for pdf in batches:
-                statuses, htmls, attempts = [], [], []
+                statuses, htmls, links, attempts = [], [], [], []
                 # per-row header maps from with_fetch_config (S4/J2); the
                 # `impersonate` column targets a curl_cffi-backed fetcher
                 # (S2) on deployments that ship it — requests ignores it
@@ -211,6 +271,7 @@ class HttpFetcher:
                 for i, url in enumerate(pdf["url"]):
                     headers = dict(hdr_col.iloc[i]) if hdr_col is not None and hdr_col.iloc[i] is not None else None
                     status, html, n = 0, None, 0
+                    base = url  # link-resolution base: the URL the html came from
                     for n in range(1, max_attempts + 1):
                         try:
                             resp = session.get(url, timeout=timeout_s, headers=headers)
@@ -224,6 +285,7 @@ class HttpFetcher:
                                     )
                                     status = resp2.status_code
                                     html = resp2.text if status == 200 else None
+                                    base = target
                             if status == 200:
                                 break
                         except requests.RequestException:
@@ -232,11 +294,16 @@ class HttpFetcher:
                             time.sleep(wait_s)
                     statuses.append(status)
                     htmls.append(html)
+                    links.append(
+                        extract_links_py(html, base, max_links)
+                        if status == 200
+                        else []
+                    )
                     attempts.append(n)
                 out = pdf[cols].copy()
                 out["status"] = statuses
                 out["html"] = htmls
-                out["out_links"] = [None] * len(pdf)
+                out["out_links"] = links
                 out["attempts"] = attempts
                 yield out
 

@@ -35,6 +35,9 @@ CASES = [
     ("https://www.quora.com/What-is-X/answer/Some-One-42?ch=10", "quora", "Some-One-42"),
     ("https://www.quora.com/q/something/answers/123456789", "quora", "123456789"),
     ("https://example.com/some/page?q=1#frag", None, None),
+    # domain twin parity: parse_url(HOST) strips port and userinfo
+    ("http://127.0.0.1:8080/some/page", None, None),
+    ("https://user:pw@example.com:8443/x", None, None),
 ]
 
 
