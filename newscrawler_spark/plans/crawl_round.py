@@ -134,7 +134,12 @@ def run_round(
     # returns an error struct for non-200 rows (html is null), so every
     # downstream consumer — valid/invalid docs, http failures,
     # discovered out-links — reads the same persisted frame.
-    if boot_config is not None:
+    # S2/S4 — attach per-platform fetch config (impersonate target +
+    # header map, optionally overridden by the round's header bootstrap)
+    # whenever a live fetcher declares it consumes it (the reference
+    # always sends its per-crawler headers, base.py:24-29).  Fixture
+    # fetchers skip the (cheap, 11-row broadcast) join entirely.
+    if boot_config is not None or getattr(fetcher, "wants_fetch_config", False):
         from ..operators.projections import platform_config_df, with_fetch_config
 
         eligible = with_fetch_config(

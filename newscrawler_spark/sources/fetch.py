@@ -233,6 +233,10 @@ class HttpFetcher:
     with mega-host skew spread over `salt_factor` partitions
     (operators.scheduling.salt_domains)."""
 
+    # run_round attaches the platform fetch-config columns (impersonate,
+    # headers) for any fetcher that declares it consumes them (S2/S4)
+    wants_fetch_config = True
+
     def __init__(self, max_attempts: int = FETCH_ATTEMPTS,
                  wait_s: float = FETCH_WAIT_S, timeout_s: float = FETCH_TIMEOUT_S,
                  n_partitions: int = 64, salt_factor: int = 8,
