@@ -147,8 +147,9 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         steal0, total0 = _cpu_stat()
         t0 = time.time()
         seed_frontier(cat, frontier)
-        totals = crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
-                       max_rounds=rounds, conf=conf)
+        with FixtureFetcher(pages) as fetcher:
+            totals = crawl(spark, cat, fetcher, budgets, robots,
+                           max_rounds=rounds, conf=conf)
         wall = time.time() - t0
         steal1, total1 = _cpu_stat()
         steal_pct = (
@@ -276,18 +277,21 @@ def main() -> None:
     spark.stop()
 
     # the full-width run is the volatile one on this VM (co-tenant
-    # memory-bandwidth bursts; steal stays ~0): take the best of
-    # BENCH_CRAWL_REPS fresh-JVM runs by steady throughput.  The pinned
-    # small-core run is empirically stable across days — one run.
-    reps = int(os.environ.get("BENCH_CRAWL_REPS", "2"))
+    # memory-bandwidth bursts; steal stays ~0): run BENCH_CRAWL_REPS
+    # fresh-JVM reps and headline the MEDIAN by steady throughput (a
+    # max-of-N headline would bias upward under noise; all reps are
+    # reported so the band is visible).  Even N takes the lower middle
+    # (conservative).  The pinned small-core run is empirically stable
+    # across days — one run.
+    reps = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
     runs = [_in_subprocess("crawl", cpus, n_urls) for _ in range(reps)]
-    crawl_big = max(
-        runs, key=lambda r: r["steady_urls_per_sec"] or r["urls_per_sec"]
-    )
+    ranked = sorted(runs, key=lambda r: r["steady_urls_per_sec"] or r["urls_per_sec"])
+    crawl_big = ranked[(reps - 1) // 2]
     if reps > 1:
         crawl_big["steady_urls_per_sec_runs"] = [
             r["steady_urls_per_sec"] for r in runs
         ]
+        crawl_big["headline_stat"] = f"median_of_{reps}"
     result = {
         "metric": "urls_scheduled_fetched_per_sec",
         "value": crawl_big["urls_per_sec"],

@@ -108,7 +108,21 @@ def crawl(
 
         boot_cfg = None
         if header_bootstrap is not None:
-            header_bootstrap.refresh(boot_hosts, round_no)
+            # S4 scope: bootstrap every host this round may fetch —
+            # budgeted domains PLUS domains discovered mid-crawl (the
+            # reference bootstraps per visited host,
+            # libs/playwright_driver.py:26-58; a budgets-only scope
+            # would never bootstrap hosts that enter via out-links).
+            # The distinct-collect is a KB-scale job paid only in
+            # live-bootstrap mode, where one real-browser visit dwarfs it.
+            round_hosts = {
+                r.domain
+                for r in frontier.select("domain").distinct().collect()
+                if r.domain
+            }
+            header_bootstrap.refresh(
+                sorted(round_hosts.union(boot_hosts)), round_no
+            )
             boot_cfg = header_bootstrap.config_df(spark)
 
         result: RoundResult = run_round(

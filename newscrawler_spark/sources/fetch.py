@@ -159,9 +159,18 @@ class FixtureFetcher:
         self._urls = pages.select(F.col("url").alias("p_url")).cache()
 
     def close(self) -> None:
-        """Release the cached corpus projections (call when done)."""
+        """Release the cached corpus projections.  Callers that outlive
+        a crawl (bench, long-lived sessions) must call this — otherwise
+        the persisted blocks live for the JVM lifetime; context-manager
+        use (``with FixtureFetcher(pages) as f:``) does it for you."""
         self.pages.unpersist()
         self._urls.unpersist()
+
+    def __enter__(self) -> "FixtureFetcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _lookup(
         self, requests: DataFrame, url_col: str, hint_broadcast: bool = True

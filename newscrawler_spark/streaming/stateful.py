@@ -41,6 +41,12 @@ STATE_SCHEMA = "ts array<bigint>, eid array<bigint>"
 
 SENTINEL_EVENT_ID = -1
 
+# One drain must be ONE micro-batch (see sessionize_stream): the trigger
+# reads at most this many files per batch, so a source directory with
+# more files would split the drain and break the sentinel protocol —
+# sessionize_stream fails fast instead of silently mis-sessionizing.
+MAX_FILES_PER_DRAIN = 1_000_000
+
 
 def _sessionize_buffer(
     user_id: int, ts: list[int], eid: list[int], gap_s: int
@@ -88,8 +94,24 @@ def sessionize_stream(
 
     `events_dir` must contain the event files AND the per-user sentinel
     file (write_sentinels) — the close signal for each user's state.
+
+    Raises ValueError if the directory holds more than MAX_FILES_PER_DRAIN
+    files: the sentinel protocol requires the whole drain in one
+    micro-batch (a sentinel in an earlier batch than that user's
+    remaining events would flush+remove state and orphan them), and
+    maxFilesPerTrigger is the only thing enforcing it.
     """
     gap_s = gap_minutes * 60
+
+    n_files = len(spark.read.schema(EVENT_SCHEMA).parquet(events_dir).inputFiles())
+    if n_files > MAX_FILES_PER_DRAIN:
+        raise ValueError(
+            f"sessionize_stream: {events_dir} holds {n_files} files > "
+            f"MAX_FILES_PER_DRAIN={MAX_FILES_PER_DRAIN}; the drain would "
+            "split into multiple micro-batches and break the sentinel "
+            "protocol. Compact the input or raise MAX_FILES_PER_DRAIN "
+            "(and maxFilesPerTrigger) together."
+        )
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -122,7 +144,7 @@ def sessionize_stream(
     # construction (sentinels are written last, test-covered).
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1_000_000)
+        .option("maxFilesPerTrigger", MAX_FILES_PER_DRAIN)
         .parquet(events_dir)
     )
     q = (

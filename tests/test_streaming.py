@@ -168,6 +168,31 @@ def test_stateful_sessionize_state_survives_restart(spark):
     assert got == want and len(got) > 0
 
 
+def test_stateful_sessionize_rejects_oversized_drain(spark, monkeypatch, tmp_path):
+    """The sentinel protocol is only safe when the whole drain fits one
+    micro-batch; more input files than maxFilesPerTrigger must fail
+    FAST (ValueError before the query starts), never mis-sessionize."""
+    import newscrawler_spark.streaming.stateful as st
+
+    events_dir = str(tmp_path / "events")
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7, "click", 1.0, None)],
+        st.EVENT_SCHEMA,
+    )
+    ev.write.parquet(events_dir)  # several part files
+    ev.coalesce(1).write.mode("append").parquet(events_dir)
+
+    monkeypatch.setattr(st, "MAX_FILES_PER_DRAIN", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MAX_FILES_PER_DRAIN"):
+        st.sessionize_stream(
+            spark, events_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+
+
 def test_seed_stream_second_batch_merges_pending_frontier(spark):
     """A later micro-batch against an already-crawled catalog takes the
     merge path (read pending frontier delta + overwrite the same path) —

@@ -323,3 +323,50 @@ def test_header_bootstrap_ttl_and_merge(spark):
     assert boot["Accept-Language"] == "en-US,en;q=0.9"     # default kept
     plain = by_url["https://other.test/a"].headers
     assert plain["User-Agent"] == "Mozilla/5.0" and "Cookie" not in plain
+
+
+def test_header_bootstrap_covers_mid_crawl_hosts(spark, tmp_path):
+    """S4 scope: crawl() must bootstrap hosts discovered via out-links,
+    not only the budgeted seed domains (the reference bootstraps per
+    VISITED host, playwright_driver.py:26-58)."""
+    from newscrawler_spark.operators.projections import HeaderBootstrap
+    from newscrawler_spark.plans.crawl_round import RoundConfig
+    from newscrawler_spark.plans.scheduler import crawl, seed_frontier
+    from newscrawler_spark.sources.catalog import Catalog
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+
+    seed = "https://www.toutiao.com/article/7100000000000000001/"
+    hop = "https://www.bbc.com/news/articles/c0000000001o"
+    pages = spark.createDataFrame(
+        [
+            (seed, 200, f'<html><a href="{hop}">x</a></html>', [hop]),
+            (hop, 200, "<html></html>", []),
+        ],
+        "url string, status int, html string, out_links array<string>",
+    )
+    from newscrawler_spark import schema
+
+    frontier = spark.createDataFrame(
+        [(seed, "www.toutiao.com", 0, 0, 0, 0, 0, seed)], schema.FRONTIER
+    )
+    budgets = spark.createDataFrame(
+        [("www.toutiao.com", 10, 60, None)], schema.BUDGETS
+    )
+    robots = spark.createDataFrame([], schema.ROBOTS)
+
+    seen_hosts: set[str] = set()
+
+    def provider(host):
+        seen_hosts.add(host)
+        return {"Cookie": f"c-{host}"}
+
+    cat = Catalog(str(tmp_path / "cat"))
+    seed_frontier(cat, frontier)
+    with FixtureFetcher(pages) as f:
+        crawl(
+            spark, cat, f, budgets, robots, max_rounds=2,
+            conf=RoundConfig(n_partitions=2, n_buckets=4, m_bits=1 << 12),
+            header_bootstrap=HeaderBootstrap(provider, ttl_rounds=10),
+        )
+    assert "www.toutiao.com" in seen_hosts      # budgeted seed host
+    assert "www.bbc.com" in seen_hosts          # discovered mid-crawl
