@@ -146,6 +146,114 @@ def test_reference_parser_parity(platform, corpus, monkeypatch):
         assert (eng["title"] or None) == (ref_item.title or None), url
 
 
+# ---------------------------------------------------------------------------
+# Mutation corpus — round 2's four caught divergences were all on shapes
+# synth happened to generate; these deterministic textual mutations hunt
+# the shapes it doesn't: missing titles, deeper figure nesting, malformed
+# (truncated) JS payloads, gutted article bodies, whitespace storms.
+# The parity property widens to OUTCOME equivalence: when the reference
+# parser raises, the engine must report an error for the same page (never
+# fabricate a doc the reference would reject); when both succeed, spans
+# and title must still match span-by-span.
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+
+def _mut_strip_titles(html: str) -> str | None:
+    out = _re.sub(r"<h1\b[^>]*>.*?</h1>", "", html, flags=_re.S | _re.I)
+    out = _re.sub(r"<title>.*?</title>", "", out, flags=_re.S | _re.I)
+    return out if out != html else None
+
+
+def _mut_nested_figures(html: str) -> str | None:
+    if "<img" not in html:
+        return None
+    return _re.sub(r"(<img\b[^>]*>)", r"<figure><div>\1</div></figure>", html)
+
+
+def _mut_truncate_js(html: str) -> str | None:
+    def cut(m):
+        body = m.group(2)
+        return m.group(1) + body[: len(body) // 2] + m.group(3)
+
+    out = _re.sub(r"(<script\b[^>]*>)(.+?)(</script>)", cut, html, flags=_re.S | _re.I)
+    return out if out != html else None
+
+
+def _mut_drop_paragraphs(html: str) -> str | None:
+    out = _re.sub(r"<p\b[^>]*>.*?</p>", "", html, flags=_re.S | _re.I)
+    return out if out != html else None
+
+
+def _mut_whitespace_storm(html: str) -> str | None:
+    out = html.replace("><", ">\n\t <")
+    return out if out != html else None
+
+
+MUTATIONS = {
+    "strip_titles": _mut_strip_titles,
+    "nested_figures": _mut_nested_figures,
+    "truncate_js": _mut_truncate_js,
+    "drop_paragraphs": _mut_drop_paragraphs,
+    "whitespace_storm": _mut_whitespace_storm,
+}
+
+MUT_PAGES_PER_PLATFORM = 6
+
+
+def _ref_parse(crawler_cls, url: str, html: str):
+    """(item, error) — the reference signals bad pages by raising."""
+    try:
+        return crawler_cls(url).parse_content(html), None
+    except Exception as exc:  # noqa: BLE001 — any raise = rejected page
+        return None, f"{type(exc).__name__}: {exc}"
+
+
+@pytest.mark.parametrize("mutation", sorted(MUTATIONS))
+@pytest.mark.parametrize("platform", sorted(CRAWLERS))
+def test_reference_parity_under_mutation(platform, mutation, corpus, monkeypatch):
+    import importlib
+
+    mod_name, cls_name = CRAWLERS[platform]
+    crawler_cls = getattr(importlib.import_module(mod_name), cls_name)
+    if platform == "naver":
+        monkeypatch.setattr(
+            crawler_cls, "get_iframe_url_path", lambda self: self.new_url
+        )
+
+    mutate = MUTATIONS[mutation]
+    checked = 0
+    for url, html in corpus.get(platform, [])[:MUT_PAGES_PER_PLATFORM]:
+        mutated = mutate(html)
+        if mutated is None:  # mutation not applicable to this page shape
+            continue
+        checked += 1
+        ref_item, ref_err = _ref_parse(crawler_cls, url, mutated)
+        eng = extract_one(mutated, url, platform)
+        if ref_err is not None:
+            assert eng["error"] is not None, (
+                f"{url} [{mutation}]: reference rejected the page "
+                f"({ref_err}) but the engine extracted "
+                f"{len(eng['spans'])} spans"
+            )
+            continue
+        assert eng["error"] is None, (
+            f"{url} [{mutation}]: reference parsed OK but engine "
+            f"errored: {eng['error']}"
+        )
+        assert _eng_spans(eng) == _ref_spans(ref_item), (
+            f"span sequence mismatch for {url} [{mutation}]\n"
+            f"  ref: {_ref_spans(ref_item)[:8]}\n"
+            f"  eng: {_eng_spans(eng)[:8]}"
+        )
+        assert (eng["title"] or None) == (ref_item.title or None), (
+            f"{url} [{mutation}]"
+        )
+    if checked == 0:
+        pytest.skip(f"mutation {mutation} not applicable to any {platform} page")
+
+
 def test_quora_reference_fixture_parity():
     """The reference's own committed live-response fixture (the one real
     captured page in its test suite — news_crawler/quora/test/)."""
