@@ -26,6 +26,7 @@ Reference semantics encoded here (studied, not ported):
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -239,6 +240,36 @@ def canonical_url_py(url: str) -> str:
     return re.sub(r"/+$", "", url.split("#")[0].split("?")[0])
 
 
+@_lru_cache(maxsize=8)
+def _identity_cols(url_col: str, patterns_key: tuple):
+    """The four identity Column trees, built ONCE per process: Columns
+    are unresolved expression templates reusable across DataFrames, and
+    constructing the 11-platform CASE chains costs ~0.25 s of py4j
+    round-trips — pure driver fixed cost when paid per crawl round.
+
+    `patterns_key` is the PLATFORM_PATTERNS content at build time: the
+    detection list is mutable module state (tests extend it to route
+    loopback hosts to a dialect), so the cache must be keyed on it —
+    detect_platform reads the live global when the trees are (re)built."""
+    import pyspark.sql.functions as _F
+
+    u = _F.col(url_col)
+    fallback = _F.regexp_replace(
+        _F.substring_index(_F.substring_index(u, "#", 1), "?", 1), "/+$", ""
+    )
+    known = (
+        _F.col("platform").isNotNull()
+        & _F.col("article_id").isNotNull()
+        & (_F.col("article_id") != "")
+    )
+    return (
+        detect_platform(url_col),
+        article_id(url_col, _F.col("platform")),
+        _F.when(known, _F.concat_ws(":", "platform", "article_id")).otherwise(fallback),
+        domain_of(url_col),
+    )
+
+
 def with_url_identity(df, url_col: str = "url"):
     """Add platform / article_id / canonical_url / domain columns, staged.
 
@@ -250,21 +281,9 @@ def with_url_identity(df, url_col: str = "url"):
     it (non-cheap exprs referenced >1x are preserved), so each chain is
     code-generated once.
     """
-    import pyspark.sql.functions as _F
-
-    df = df.withColumn("platform", detect_platform(url_col))
-    df = df.withColumn("article_id", article_id(url_col, _F.col("platform")))
-    u = _F.col(url_col)
-    fallback = _F.regexp_replace(
-        _F.substring_index(_F.substring_index(u, "#", 1), "?", 1), "/+$", ""
+    platform, art_id, canonical, domain = _identity_cols(
+        url_col, tuple(PLATFORM_PATTERNS)
     )
-    known = (
-        _F.col("platform").isNotNull()
-        & _F.col("article_id").isNotNull()
-        & (_F.col("article_id") != "")
-    )
-    df = df.withColumn(
-        "canonical_url",
-        _F.when(known, _F.concat_ws(":", "platform", "article_id")).otherwise(fallback),
-    )
-    return df.withColumn("domain", domain_of(url_col))
+    df = df.withColumn("platform", platform)
+    df = df.withColumn("article_id", art_id)
+    return df.withColumns({"canonical_url": canonical, "domain": domain})

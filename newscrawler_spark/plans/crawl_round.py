@@ -85,14 +85,23 @@ def run_round(
     # The round's outputs (docs, seen, quarantine, order, next frontier)
     # all fan out of a few pivotal frames; without materialization each
     # delta write re-executes the whole chain (measured 5x fetch+extract
-    # per round).  In the sandbox we persist those frames; on a cluster
-    # the same seam would checkpoint them as short-lived catalog tables.
+    # per round).  In the sandbox we materialize those frames; on a
+    # cluster the same seam would checkpoint them as short-lived catalog
+    # tables.
+    #
+    # LAZY localCheckpoint, not persist: persist keeps the full logical
+    # plan, so every later transformation re-runs CheckAnalysis over the
+    # whole round lineage (hundreds of nodes x the 11-platform identity
+    # CASE trees) — measured ~4 s of DRIVER time per round just
+    # constructing the plan, pure fixed cost that never parallelizes.
+    # localCheckpoint truncates the plan to a leaf; construction drops
+    # ~35% and every downstream analysis/AQE pass shrinks with it.
+    # Blocks are MEMORY_AND_DISK like persist and are released by the
+    # ContextCleaner once the round's references are dropped.
     persisted: list = []
 
     def _p(df: DataFrame) -> DataFrame:
-        from pyspark.storagelevel import StorageLevel
-
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.localCheckpoint(eager=False)
         persisted.append(df)
         return df
 
@@ -149,20 +158,25 @@ def run_round(
 
     from ..functions.extract import extract_udf
 
+    # coalesce bounds the persisted frame to the round's configured
+    # width: FixtureFetcher's found∪missing (×2 for the iframe hop)
+    # union inflates partition count to ~2×(corpus + request) — every
+    # downstream consumer of the persisted frame then launches one task
+    # per partition per scan.  coalesce is shuffle-free, never raises
+    # the count, and n_partitions is the engine's explicit sizing knob
+    # (a cluster sizes it to total cores).
     extracted = _p(
-        fetched.withColumn(
+        fetched.coalesce(conf.n_partitions)
+        .withColumn(
             "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
-        ).drop("html")
+        )
+        .drop("html")
     )
     ok = extracted.filter(F.col("status") == 200)
-    failed = extracted.filter(F.col("status") != 200)
     valid = ok.filter(
         F.col("ex.error").isNull()
         & (F.size("ex.spans") > 0)
         & F.col("ex.title").isNotNull()
-    )
-    invalid = ok.filter(
-        F.col("ex.error").isNotNull() | (F.size("ex.spans") <= 0)
     )
 
     docs = valid.select(
@@ -190,9 +204,17 @@ def run_round(
     # unsupported platforms; per-row isolation, server.py:130-182) in
     # ONE frame discriminated by `kind`, written as one job
     # (catalog.write_round_log).  `round` rides in the delta path.
-    def _log(kind, df, url=None, canonical=None, hash_bucket=False,
-             domain_rank=False, error=None, attempt=None):
-        return df.select(
+    #
+    # Shape: each source frame is scanned ONCE, emitting its 1-3 log
+    # entries per row as an exploded struct array (seen + order +
+    # conditional quarantine for fetched rows; seen + quarantine for
+    # robots denials / unsupported platforms).  The previous 6-branch
+    # filter-union re-scanned the persisted parents once per branch —
+    # hundreds of near-empty map tasks per round at sandbox scale, and
+    # 6x the cache-read bandwidth at any scale.
+    def _entry(kind, url=False, canonical=False, hash_bucket=False,
+               domain_rank=False, error=None, attempt=None):
+        return F.struct(
             F.lit(kind).alias("kind"),
             (F.col("url") if url else F.lit(None).cast("string")).alias("url"),
             (F.col("canonical_url") if canonical else F.lit(None).cast("string")).alias("canonical_url"),
@@ -212,39 +234,49 @@ def run_round(
             (attempt if attempt is not None else F.lit(None).cast("int")).alias("attempt"),
         )
 
-    terminal = (
-        eligible.select("canonical_url")
-        .unionByName(denied.select("canonical_url"))
-        .unionByName(unsupported.select("canonical_url"))
+    def _log_rows(df, *entries):
+        return df.select(
+            F.explode(F.array_compact(F.array(*entries))).alias("e")
+        ).select("e.*")
+
+    # quarantine reason for a fetched row, NULL when the row is a valid
+    # doc (same predicates as the failed/invalid splits above)
+    fetch_quarantine_error = F.when(
+        F.col("status") != 200, F.concat(F.lit("http_"), F.col("status"))
+    ).when(
+        F.col("ex.error").isNotNull() | (F.size("ex.spans") <= 0),
+        F.coalesce(F.col("ex.error"), F.lit("empty content")),
     )
     round_log = (
-        _log("seen", terminal, canonical=True, hash_bucket=True)
-        .unionByName(_log("order", eligible, url=True, canonical=True, domain_rank=True))
+        _log_rows(
+            extracted,
+            _entry("seen", canonical=True, hash_bucket=True),
+            _entry("order", url=True, canonical=True, domain_rank=True),
+            F.when(
+                fetch_quarantine_error.isNotNull(),
+                _entry(
+                    "quarantine",
+                    url=True,
+                    error=fetch_quarantine_error,
+                    attempt=F.col("attempts"),
+                ),
+            ),
+        )
         .unionByName(
-            _log(
-                "quarantine",
-                failed,
-                url=True,
-                error=F.concat(F.lit("http_"), F.col("status")),
-                attempt=F.col("attempts"),
+            _log_rows(
+                denied,
+                _entry("seen", canonical=True, hash_bucket=True),
+                _entry("quarantine", url=True,
+                       error=F.lit("robots_denied"), attempt=F.lit(0)),
             )
         )
         .unionByName(
-            _log(
-                "quarantine",
-                invalid,
-                url=True,
-                error=F.coalesce(F.col("ex.error"), F.lit("empty content")),
-                attempt=F.col("attempts"),
+            _log_rows(
+                unsupported,
+                _entry("seen", canonical=True, hash_bucket=True),
+                _entry("quarantine", url=True,
+                       error=F.lit("unsupported_platform"), attempt=F.lit(0)),
             )
-        )
-        .unionByName(
-            _log("quarantine", denied, url=True,
-                 error=F.lit("robots_denied"), attempt=F.lit(0))
-        )
-        .unionByName(
-            _log("quarantine", unsupported, url=True,
-                 error=F.lit("unsupported_platform"), attempt=F.lit(0))
         )
     )
 

@@ -92,7 +92,12 @@ def crawl(
         # isEmpty() job needed except for the un-counted seed round
         prev = catalog.read_manifest().get("rounds", {}).get(str(round_no - 1))
         frontier_path = catalog.delta_path("frontier", round_no)
-        frontier = spark.read.parquet(frontier_path)
+        # explicit schemas on the per-round reads: schema inference costs
+        # a driver-side footer scan per round (pure fixed cost), and at
+        # scale a delta's schema is table metadata, never file footers
+        from .. import schema as _schema
+
+        frontier = spark.read.schema(_schema.FRONTIER).parquet(frontier_path)
         if prev is not None:
             if prev.get("frontier_next", 0) == 0:
                 break
@@ -101,7 +106,9 @@ def crawl(
 
         url_seen = catalog.read_table(spark, "url_seen", upto_round=round_no - 1)
         bloom = (
-            spark.read.parquet(catalog.delta_path("bloom", round_no - 1))
+            spark.read.schema(_schema.BLOOM).parquet(
+                catalog.delta_path("bloom", round_no - 1)
+            )
             if round_no > 0
             else None
         )

@@ -139,6 +139,7 @@ class FixtureFetcher:
         pages: DataFrame,
         max_attempts: int = FETCH_ATTEMPTS,
         broadcast_max_rows: int | None = None,
+        corpus_partitions: int | None = 64,
     ):
         from pyspark.storagelevel import StorageLevel
 
@@ -151,12 +152,24 @@ class FixtureFetcher:
         # cache instead of re-scanning/decompressing the parquet corpus
         # each time (event-log audit: repeated pages scans were ~40% of
         # all crawl task time).  MEMORY_AND_DISK: spills, never OOMs.
-        self.pages = pages.select("url", "status", "html", "out_links").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        #
+        # coalesce bounds the cached partition count: the fetch-join
+        # output inherits the corpus partitioning, and every downstream
+        # consumer of the round's persisted fetch+extract frame launches
+        # one task per partition — a 182-partition parquet source made
+        # small rounds pay hundreds of near-empty tasks per write
+        # (scheduling overhead, not work).  coalesce never shuffles and
+        # never raises the count.
+        src = pages.select("url", "status", "html", "out_links")
+        if corpus_partitions is not None:
+            src = src.coalesce(corpus_partitions)
+        self.pages = src.persist(StorageLevel.MEMORY_AND_DISK)
         # URL-only projection, cached across rounds: the miss-recovery
         # anti-join probes this instead of rescanning page HTML
-        self._urls = pages.select(F.col("url").alias("p_url")).cache()
+        self._urls = pages.select(F.col("url").alias("p_url"))
+        if corpus_partitions is not None:
+            self._urls = self._urls.coalesce(corpus_partitions)
+        self._urls = self._urls.cache()
 
     def close(self) -> None:
         """Release the cached corpus projections.  Callers that outlive
