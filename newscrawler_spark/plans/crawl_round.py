@@ -64,8 +64,23 @@ class RoundResult:
     persisted: list = None  # frames to unpersist after the round commits
 
     def unpersist(self) -> None:
+        """Release the round's materialized frames EAGERLY.
+
+        ``Dataset.unpersist`` only clears CacheManager entries — the
+        RDD behind a localCheckpoint is invisible to it and otherwise
+        waits for the ContextCleaner (driver GC + async queue), so
+        blocks from every completed round pile up in executor memory
+        and push later rounds into eviction/spill thrash.  Reach into
+        the LogicalRDD leaf and unpersist the checkpoint RDD directly
+        (verified: getPersistentRDDs drops to zero immediately)."""
         for df in self.persisted or []:
             df.unpersist()
+            try:
+                plan = df._jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass  # cleanup is best-effort; the ContextCleaner backstops
 
 
 def run_round(
