@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
     result = run_round(
         frontier,
         url_seen=None,
-        bloom=None,
+        sidecar=None,
         budgets=budgets,
         robots=robots,
         fetcher=FixtureFetcher(pages),

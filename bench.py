@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "url_canonicalize",
+    "seen_cuckoo",
     "politeness_schedule",
     "span_dedup",
     "markdown_render",

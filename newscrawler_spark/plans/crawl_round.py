@@ -50,6 +50,12 @@ class RoundConfig:
     n_partitions: int = 32
     salt_factor: int = 8
     max_depth: int = 10
+    # URL-seen sidecar kind: "bloom" (OR-mergeable bitsets) or "cuckoo"
+    # (deletable fingerprint tables, operators/cuckoo.py).  Prune-only
+    # either way — crawl results are identical by construction (tested).
+    seen_filter: str = "bloom"
+    # cuckoo sizing: fingerprint slots reserved per hash bucket
+    cuckoo_capacity: int = 1 << 16
 
 
 @dataclass
@@ -86,7 +92,7 @@ class RoundResult:
 def run_round(
     frontier: DataFrame,
     url_seen: DataFrame | None,
-    bloom: DataFrame | None,
+    sidecar: DataFrame | None,  # bloom or cuckoo frame, per conf.seen_filter
     budgets: DataFrame,
     robots: DataFrame,
     fetcher,
@@ -128,7 +134,14 @@ def run_round(
     # one probe pass; the supported/unsupported split happens after
     # (splitting first would run the cogroup probe twice)
     if url_seen is not None:
-        cand = filter_unseen(cand, url_seen, bloom, conf.n_buckets, conf.m_bits)
+        if sidecar is not None and conf.seen_filter == "cuckoo":
+            from ..operators.cuckoo import filter_unseen_cuckoo
+
+            cand = filter_unseen_cuckoo(cand, url_seen, sidecar, conf.n_buckets)
+        else:
+            cand = filter_unseen(
+                cand, url_seen, sidecar, conf.n_buckets, conf.m_bits
+            )
     cand = _p(cand)
 
     # unsupported-platform rows are terminal (extractor has no dialect —

@@ -105,9 +105,15 @@ def crawl(
             break
 
         url_seen = catalog.read_table(spark, "url_seen", upto_round=round_no - 1)
-        bloom = (
-            spark.read.schema(_schema.BLOOM).parquet(
-                catalog.delta_path("bloom", round_no - 1)
+        # seen-filter sidecar (bloom bitsets or cuckoo fingerprint
+        # tables — same per-bucket delta lifecycle either way)
+        sidecar_table = "bloom" if conf.seen_filter == "bloom" else "cuckoo"
+        sidecar_schema = (
+            _schema.BLOOM if conf.seen_filter == "bloom" else _schema.CUCKOO
+        )
+        sidecar = (
+            spark.read.schema(sidecar_schema).parquet(
+                catalog.delta_path(sidecar_table, round_no - 1)
             )
             if round_no > 0
             else None
@@ -133,7 +139,7 @@ def crawl(
             boot_cfg = header_bootstrap.config_df(spark)
 
         result: RoundResult = run_round(
-            frontier, url_seen, bloom, budgets, robots, fetcher, round_no, conf,
+            frontier, url_seen, sidecar, budgets, robots, fetcher, round_no, conf,
             fetch_size_hint=(prev or {}).get("frontier_next"),
             boot_config=boot_cfg,
         )
@@ -160,10 +166,32 @@ def crawl(
         # both on the DRIVER (DuckDB + numpy/pyarrow, bit-identical
         # kernels, zero Spark jobs); big rounds use the distributed path.
         log_round = catalog.read_round_log_delta(spark, round_no)
-        if log_counts["seen"] <= BUDGET_LOCAL_MAX_ROWS:
+        prev_round = round_no - 1 if round_no > 0 else None
+        if conf.seen_filter == "cuckoo":
+            if log_counts["seen"] <= BUDGET_LOCAL_MAX_ROWS:
+                _t(round_no, "write cuckoo (local)", lambda: (
+                    catalog.write_cuckoo_local(
+                        round_no, prev_round, conf.cuckoo_capacity
+                    )
+                ))
+            else:
+                from ..operators.cuckoo import build_cuckoo, merge_cuckoo
+
+                seen_round = log_round.filter(F.col("kind") == "seen").select(
+                    "url_hash", "bucket"
+                )
+                new_side = (
+                    build_cuckoo(seen_round, conf.n_buckets, conf.cuckoo_capacity)
+                    if sidecar is None
+                    else merge_cuckoo(sidecar, seen_round, conf.cuckoo_capacity)
+                )
+                _t(round_no, "write cuckoo", lambda: catalog.write_delta(
+                    new_side, "cuckoo", round_no
+                ))
+        elif log_counts["seen"] <= BUDGET_LOCAL_MAX_ROWS:
             _t(round_no, "write bloom (local)", lambda: catalog.write_bloom_local(
                 round_no,
-                round_no - 1 if round_no > 0 else None,
+                prev_round,
                 conf.m_bits,
             ))
         else:
@@ -172,8 +200,8 @@ def crawl(
             )
             new_bloom = (
                 build_bloom(seen_round, conf.n_buckets, conf.m_bits)
-                if bloom is None
-                else merge_bloom(bloom, seen_round, conf.n_buckets, conf.m_bits)
+                if sidecar is None
+                else merge_bloom(sidecar, seen_round, conf.n_buckets, conf.m_bits)
             )
             _t(round_no, "write bloom", lambda: catalog.write_delta(new_bloom, "bloom", round_no))
 

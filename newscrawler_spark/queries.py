@@ -246,6 +246,55 @@ def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("canonical_url", "domain", "seq")
 
 
+def q_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter variant of the seen prune (the north star's
+    'bloom/cuckoo' other half, operators/cuckoo.py): build the
+    fingerprint tables from the seen set, DELETE half of it (the forced
+    re-crawl path bloom cannot express), then probe+anti-join.  The
+    oracle is the plain relational anti-join against the same
+    post-deletion seen set — the filter must prune without changing
+    the result."""
+    from .operators.cuckoo import build_cuckoo, delete_cuckoo, filter_unseen_cuckoo
+
+    n_buckets = 16
+    fr = _identity_frontier(spark, sf_dir)
+    cand = dedup_within_round(fr)
+    seen = _seen_table(spark, sf_dir, n_buckets)
+    # un-see every fourth article id (art%2=0 built the seen set, so
+    # art%4=0 deletes half of it; survivors are art%4=2)
+    removals = (
+        fr.filter(F.col("art") % 4 == 0)
+        .select("canonical_url")
+        .distinct()
+        .select(
+            F.xxhash64("canonical_url").alias("url_hash"),
+            F.pmod(F.xxhash64("canonical_url"), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    filt = delete_cuckoo(
+        build_cuckoo(seen, n_buckets, capacity_per_bucket=1024), removals
+    )
+    remaining_seen = seen.join(
+        removals.select("url_hash", "bucket"), ["url_hash", "bucket"], "left_anti"
+    )
+    out = filter_unseen_cuckoo(cand, remaining_seen, filt, n_buckets)
+    return out.select("canonical_url", "domain", "seq")
+
+
+SQL_SEEN_CUCKOO = f"""
+WITH {_frontier_cte()},
+d AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY priority, depth, seq) AS rn
+      FROM frontier),
+cand AS (SELECT * FROM d WHERE rn = 1),
+seen AS (SELECT DISTINCT canonical_url FROM frontier WHERE art % 4 = 2)
+SELECT c.canonical_url, c.domain, c.seq
+FROM cand c WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = c.canonical_url)
+"""
+
+
 SQL_SEEN_ANTIJOIN = f"""
 WITH {_frontier_cte()},
 d AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
@@ -1145,6 +1194,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "frontier_dedup": q_frontier_dedup,
     "seen_antijoin": q_seen_antijoin,
+    "seen_cuckoo": q_seen_cuckoo,
     "politeness_schedule": q_politeness_schedule,
     "politeness_deferred": q_politeness_deferred,
     "span_projections": q_span_projections,
@@ -1180,6 +1230,7 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "frontier_dedup": SQL_FRONTIER_DEDUP,
     "seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "seen_cuckoo": SQL_SEEN_CUCKOO,
     "politeness_schedule": SQL_POLITENESS_SCHEDULE,
     "politeness_deferred": SQL_POLITENESS_DEFERRED,
     "span_projections": SQL_SPAN_PROJECTIONS,

@@ -108,6 +108,18 @@ BLOOM = T.StructType(
     ]
 )
 
+# cuckoo-filter sidecar (operators/cuckoo.py — the north star's other
+# URL-seen filter kind; same per-bucket layout as BLOOM)
+CUCKOO = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("n_rows", T.IntegerType(), False),
+        T.StructField("stash", T.ArrayType(T.LongType()), True),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Politeness state — budgets & robots (FIXTURES.md §5)
 # ---------------------------------------------------------------------------

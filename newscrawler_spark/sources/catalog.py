@@ -279,6 +279,93 @@ class Catalog:
         path.mkdir(parents=True, exist_ok=True)
         pq.write_table(table, path / "part-00000.parquet")
 
+    def write_cuckoo_local(
+        self,
+        round_no: int,
+        prev_round: int | None,
+        capacity_per_bucket: int,
+    ) -> None:
+        """Cuckoo sidecar build/merge on the DRIVER for small rounds —
+        the write_bloom_local twin for conf.seen_filter='cuckoo'.  Uses
+        the SAME numpy kernels as the distributed cogroup
+        (operators.cuckoo._bulk_insert on sorted hashes), so the folded
+        sidecar is byte-identical per bucket either way (tested)."""
+        import glob as _glob
+
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.cuckoo import (
+            CUCKOO_SLOTS,
+            _bulk_insert,
+            _size_rows,
+        )
+
+        tables: dict[int, "np.ndarray"] = {}
+        stashes: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        if prev_round is not None:
+            prev_glob = f"{self.delta_path('cuckoo', prev_round)}/*.parquet"
+            for bucket, blob, n_rows, stash, n in duckdb.sql(
+                f"SELECT bucket, \"table\", n_rows, stash, n_items "
+                f"FROM '{prev_glob}'"
+            ).fetchall():
+                bucket = int(bucket)
+                tables[bucket] = (
+                    np.frombuffer(blob, dtype=np.uint16)
+                    .reshape(int(n_rows), CUCKOO_SLOTS)
+                    .copy()
+                )
+                stashes[bucket] = list(stash or [])
+                counts[bucket] = int(n)
+
+        seen_glob = f"{self.delta_path('round_log', round_no)}/kind=seen/*.parquet"
+        if _glob.glob(seen_glob):
+            rel = duckdb.sql(
+                f"SELECT bucket, list(url_hash ORDER BY url_hash) "
+                f"FROM '{seen_glob}' GROUP BY bucket"
+            )
+            for bucket, hashes in rel.fetchall():
+                bucket = int(bucket)
+                arr = np.array(hashes, dtype=np.int64)
+                if bucket not in tables:
+                    tables[bucket] = np.zeros(
+                        (
+                            _size_rows(max(capacity_per_bucket, len(arr))),
+                            CUCKOO_SLOTS,
+                        ),
+                        dtype=np.uint16,
+                    )
+                    stashes[bucket] = []
+                    counts[bucket] = 0
+                overflow = _bulk_insert(tables[bucket], arr)
+                stashes[bucket].extend(int(arr[i]) for i in overflow)
+                counts[bucket] += len(arr)
+
+        buckets = sorted(tables)
+        out = pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "table": pa.array(
+                    [tables[b].tobytes() for b in buckets], type=pa.binary()
+                ),
+                "n_rows": pa.array(
+                    [tables[b].shape[0] for b in buckets], type=pa.int32()
+                ),
+                "stash": pa.array(
+                    [stashes[b] for b in buckets], type=pa.list_(pa.int64())
+                ),
+                "n_items": pa.array(
+                    [counts[b] for b in buckets], type=pa.int64()
+                ),
+            }
+        )
+        path = Path(self.delta_path("cuckoo", round_no))
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(out, path / "part-00000.parquet")
+
     def _delta_paths(self, table: str, last: int) -> list[str]:
         return [
             self.delta_path(table, r)

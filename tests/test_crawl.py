@@ -124,6 +124,44 @@ def test_kill_and_resume_bit_identical(spark, world, engine_result, tmp_path_fac
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_crawl_with_cuckoo_filter_identical(spark, world, engine_result,
+                                            tmp_path_factory):
+    """Swapping the bloom sidecar for the cuckoo filter
+    (conf.seen_filter='cuckoo') must leave every crawl output
+    bit-identical — both filters are prune-only; the exact anti-join
+    decides."""
+    seeds, pages, budgets, robots = world
+    cat2 = Catalog(tmp_path_factory.mktemp("crawl_cuckoo"))
+    seed_frontier(cat2, seeds)
+    conf = RoundConfig(n_buckets=16, m_bits=1 << 16, n_partitions=8,
+                       salt_factor=4, seen_filter="cuckoo",
+                       cuckoo_capacity=2048)
+    crawl(spark, cat2, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=conf)
+
+    for table, key in [
+        ("fetch_order", ["round", "domain", "rank", "canonical_url", "url"]),
+        ("url_seen", ["canonical_url", "round_seen"]),
+        ("quarantine", ["url", "round", "error", "attempt"]),
+    ]:
+        a = engine_result.read_table(spark, table).select(*key)
+        b = cat2.read_table(spark, table).select(*key)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), table
+    a = engine_result.read_table(spark, "docs")
+    b = cat2.read_table(spark, "docs")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # the cuckoo sidecar accounted for every seen row
+    import pyspark.sql.functions as _F
+
+    side = spark.read.schema(schema.CUCKOO).parquet(
+        cat2.delta_path("cuckoo", cat2.last_round)
+    )
+    assert (
+        side.agg(_F.sum("n_items")).first()[0]
+        == cat2.read_table(spark, "url_seen").count()
+    )
+
+
 def test_search_sweep_caps_and_dedup(spark):
     """Video-side sweep: per-keyword cap (A5), pagination bounds (L1/L2),
     cross-keyword media dedup (A7) — checked against a python
