@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     "jaccard_pairs",
     "minhash_lsh",
+    "incremental_neardup",
     "simhash",
     "text_stats",
     "ann_cosine_topk",

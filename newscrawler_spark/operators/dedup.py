@@ -224,6 +224,28 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def signature_bands(
+    signatures: DataFrame, n_hashes: int = 16, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, band, key) rows — one per LSH band; band key = md5_64 of
+    the concatenated band hash values.  This IS the persistent band
+    index's row shape (see incremental_neardup)."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = [
+            F.col(f"h{b * band_size + i}").cast("string") for i in range(band_size)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"), md5_64(F.concat_ws("|", *parts)).alias("key")
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 16, band_size: int = 2
 ) -> DataFrame:
@@ -232,16 +254,7 @@ def lsh_candidate_pairs(
 
     Returns (doc_a, doc_b) with doc_a < doc_b.
     """
-    n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        parts = [F.col(f"h{b * band_size + i}").cast("string") for i in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), md5_64(F.concat_ws("|", *parts)).alias("key"))
-        )
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = signature_bands(signatures, n_hashes, band_size)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -289,6 +302,86 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    hist_index: DataFrame | None,
+    hist_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    min_common: int = 3,
+) -> dict:
+    """Cross-BATCH near-dup: check a new batch of docs against the
+    accumulated corpus WITHOUT recomputing all pairs — the shape a
+    100 TB training-data pipeline actually runs (each crawl round's new
+    docs vs everything already ingested).
+
+    State is two append-only delta tables the caller commits per batch
+    (same Catalog lifecycle as the URL-seen sidecar):
+      * ``hist_index``  (band:int, key:long, doc_id) — the LSH band
+        index of every historical doc; at scale bucketed by (band, key)
+        so the probe join below is co-partitioned, and the scan is
+        partition-pruned to the ~n_bands/key buckets the batch touches;
+      * ``hist_sigs``   (doc_id, h0..h{n-1}) — signatures, joined only
+        for the candidate minority, co-partitioned on doc_id.
+    Pass None for both on the bootstrap batch.
+
+    Per batch: one signature aggregation over the NEW docs only, one
+    equi-join of the batch's band rows against the index (never a
+    corpus self-join), then a signature-agreement verify on candidates:
+    ``n_common`` = #equal signature components of the pair — an
+    estimator of Jaccard (E[n_common]/n_hashes = J) that needs no
+    historical TEXT, so old shingle sets are never recomputed or even
+    read.  Returns dict with:
+      * ``matches``     (doc_id, dup_of, n_common) — new doc vs
+        historical doc sharing ≥1 band bucket with ≥ min_common equal
+        components;
+      * ``index_delta``, ``sigs_delta`` — the new docs' rows to append.
+
+    Within-batch pairs are NOT included — run minhash_lsh_dedup on the
+    batch for those (a batch is tiny next to the corpus).
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col, k, n_hashes)
+    bands_new = signature_bands(sig_new, n_hashes, band_size)
+    out = {"index_delta": bands_new, "sigs_delta": sig_new}
+    if hist_index is None or hist_sigs is None:
+        out["matches"] = sig_new.select(
+            F.col("doc_id"),
+            F.col("doc_id").alias("dup_of"),
+            F.lit(0).alias("n_common"),
+        ).filter(F.lit(False))
+        return out
+    cands = (
+        bands_new.join(
+            hist_index.withColumnRenamed("doc_id", "dup_of"), ["band", "key"]
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    sn = sig_new.select(
+        "doc_id", *[F.col(f"h{j}").alias(f"na{j}") for j in range(n_hashes)]
+    )
+    so = hist_sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"h{j}").alias(f"ob{j}") for j in range(n_hashes)],
+    )
+    n_common = sum(
+        F.when(F.col(f"na{j}") == F.col(f"ob{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    out["matches"] = (
+        cands.join(sn, "doc_id")
+        .join(so, "dup_of")
+        .select(
+            "doc_id", "dup_of", n_common.cast("int").alias("n_common")
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -629,6 +629,55 @@ SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch near-dup (dedup.incremental_neardup):
+    even doc_ids play the already-ingested corpus (band index +
+    signature table), odd doc_ids the new batch; matches are
+    batch-vs-history candidates sharing an LSH band with >= 3 of 16
+    equal signature components.  Oracle recomputes the same thing
+    batch-wise in DuckDB from the shared signature CTEs."""
+    from .operators import dedup as _dd
+
+    docs = _doc(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id").cast("long") % 2 == 0)
+    batch = docs.filter(F.col("doc_id").cast("long") % 2 == 1)
+    hsig = _dd.minhash_signatures(hist)
+    hidx = _dd.signature_bands(hsig)
+    return _dd.incremental_neardup(batch, hidx, hsig, min_common=3)["matches"]
+
+
+def _sql_incremental_neardup() -> str:
+    min_exprs = []
+    for j in range(16):
+        seeded = "s || '#" + str(j) + "'"
+        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
+    mins = ",\n         ".join(min_exprs)
+    keys = ", ".join(
+        md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
+        for b in range(8)
+    )
+    eq = " + ".join(f"(a.h{j} = b.h{j})::INT" for j in range(16))
+    return f"""
+WITH {SHINGLE3_CTE},
+sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+banded AS (SELECT doc_id,
+                  unnest(range(8)) AS band,
+                  unnest([{keys}]) AS key
+           FROM sigs),
+cands AS (SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+          FROM banded n JOIN banded o USING (band, key)
+          WHERE n.doc_id::BIGINT % 2 = 1 AND o.doc_id::BIGINT % 2 = 0)
+SELECT c.doc_id, c.dup_of, ({eq})::INT AS n_common
+FROM cands c
+JOIN sigs a ON a.doc_id = c.doc_id
+JOIN sigs b ON b.doc_id = c.dup_of
+WHERE ({eq}) >= 3
+"""
+
+
+SQL_INCREMENTAL_NEARDUP = _sql_incremental_neardup()
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs
     (iterative min-label propagation — SURVEY §4's driver-level
@@ -1205,6 +1254,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
+    "incremental_neardup": q_incremental_neardup,
     "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1241,6 +1291,7 @@ ORACLES: dict[str, str] = {
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -110,6 +110,54 @@ def test_minhash_lsh_agrees_with_exact_jaccard(docs):
     assert strong <= lsh
 
 
+def test_incremental_neardup_lifecycle(spark, docs):
+    """Two batches through the incremental index must see exactly the
+    cross-batch matches the one-shot pipeline would find: batch 1
+    bootstraps (no history, no matches), its deltas become the history,
+    and batch 2's matches equal a signature-agreement recompute over
+    the full corpus restricted to cross-batch pairs."""
+    b1 = docs.filter(F.col("doc_id") < 3)   # 0, 1, 2: BASE family
+    b2 = docs.filter(F.col("doc_id") >= 3)  # 3, 4, 5: one near-dup (5 vs 0/1)
+
+    r1 = DD.incremental_neardup(b1, None, None, min_common=3)
+    assert r1["matches"].count() == 0  # bootstrap: empty history
+    assert r1["index_delta"].count() == 3 * 8  # 8 bands per doc
+    hist_index, hist_sigs = r1["index_delta"], r1["sigs_delta"]
+
+    r2 = DD.incremental_neardup(b2, hist_index, hist_sigs, min_common=3)
+    got = {(r.doc_id, r.dup_of): r.n_common for r in r2["matches"].collect()}
+    # doc 5 (BASE + suffix) must match both exact-BASE docs 0 and 1
+    # with identical agreement; 3 and 4 match nothing
+    assert (5, 0) in got and (5, 1) in got
+    assert got[(5, 0)] == got[(5, 1)] >= 3
+    assert all(d == 5 for d, _ in got)
+
+    # equivalence: one-shot signatures over the whole corpus, candidate
+    # = shares a band across the batch split, same agreement count
+    sigs = DD.minhash_signatures(docs)
+    bands = DD.signature_bands(sigs)
+    new_b = bands.filter(F.col("doc_id") >= 3)
+    old_b = bands.withColumnRenamed("doc_id", "dup_of").filter(F.col("dup_of") < 3)
+    cands = new_b.join(old_b, ["band", "key"]).select("doc_id", "dup_of").distinct()
+    sn = sigs.select("doc_id", *[F.col(f"h{j}").alias(f"na{j}") for j in range(16)])
+    so = sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"h{j}").alias(f"ob{j}") for j in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"na{j}") == F.col(f"ob{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    want = {
+        (r.doc_id, r.dup_of): r.n_common
+        for r in cands.join(sn, "doc_id").join(so, "dup_of")
+        .select("doc_id", "dup_of", agree.alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+        .collect()
+    }
+    assert got == want
+
+
 def test_simhash_pairs_low_hamming_for_neardups(docs):
     t = {r.doc_id: r.simhash for r in DD.simhash_table(docs).collect()}
     assert t[0] == t[1]  # identical text -> identical simhash
