@@ -366,12 +366,122 @@ class Catalog:
         path.mkdir(parents=True, exist_ok=True)
         pq.write_table(out, path / "part-00000.parquet")
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) ---------
+
+    # per-round INPUT deltas (frontier) and the kind-partitioned log are
+    # excluded: the scheduler addresses them by exact round directory
+    COMPACTABLE = ("docs", "neardup", "dedup_index", "dedup_sigs")
+
+    def compact_table(self, spark: SparkSession, table: str,
+                      upto_round: int | None = None) -> int:
+        """Merge a table's per-round deltas (≤ upto_round) into one
+        compacted snapshot — the Iceberg `rewrite_data_files`
+        maintenance action, run OUTSIDE the crawl path.  Read-equivalent
+        by construction: rows carry their lineage (`round` is a data
+        column on docs), only the file layout changes.
+
+        Kill-safe: the compacted dir is written aside and renamed into
+        place, then the manifest records the compaction horizon
+        atomically; a kill at any point leaves reads on the previous
+        layout.  Old round dirs stay until expire_rounds (so time
+        travel below the horizon keeps working).  Returns rows
+        compacted."""
+        if table not in self.COMPACTABLE:
+            raise ValueError(f"{table} is not compactable (allow: {self.COMPACTABLE})")
+        last = self.last_round if upto_round is None else upto_round
+        paths = self._delta_paths(table, last)
+        if not paths:
+            return 0
+        import shutil as _shutil
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*paths)
+        obs = Observation()
+        tmp = self.root / table / f"_compact_tmp_{last}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        df.hint("rebalance").observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(str(tmp))
+        final = self.root / table / f"compact_upto={last}"
+        _shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        manifest = self.read_manifest()
+        manifest.setdefault("compacted", {})[table] = last
+        mtmp = self._manifest_path.with_suffix(".tmp")
+        mtmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(mtmp, self._manifest_path)
+        # superseded compaction snapshots are unreachable once the
+        # manifest points past them
+        for d in (self.root / table).glob("compact_upto=*"):
+            if d != final:
+                _shutil.rmtree(d, ignore_errors=True)
+        return int(obs.get["n"])
+
+    def expire_rounds(self, table: str) -> int:
+        """Delete a table's round deltas at or below its compaction
+        horizon (Iceberg `expire_snapshots`): afterwards time travel
+        below the horizon raises, exactly like reading an expired
+        snapshot.  Returns #dirs removed."""
+        import shutil as _shutil
+
+        manifest = self.read_manifest()
+        horizon = manifest.get("compacted", {}).get(table)
+        if horizon is None:
+            return 0
+        removed = []
+        for r in range(horizon + 1):
+            p = Path(self.delta_path(table, r))
+            if p.exists():
+                _shutil.rmtree(p)
+                removed.append(r)
+        if removed:
+            expired = set(manifest.setdefault("expired", {}).get(table, []))
+            manifest["expired"][table] = sorted(expired.union(removed))
+            mtmp = self._manifest_path.with_suffix(".tmp")
+            mtmp.write_text(json.dumps(manifest, indent=2))
+            os.replace(mtmp, self._manifest_path)
+        return len(removed)
+
     def _delta_paths(self, table: str, last: int) -> list[str]:
-        return [
+        manifest = self.read_manifest()
+        horizon = manifest.get("compacted", {}).get(table)
+        compact_dir = (
+            self.root / table / f"compact_upto={horizon}"
+            if horizon is not None
+            else None
+        )
+        if (
+            horizon is not None
+            and horizon <= last
+            and compact_dir.exists()
+        ):
+            start = horizon + 1
+            paths = [str(compact_dir)]
+        else:
+            start = 0
+            paths = []
+            if horizon is not None and horizon > last:
+                # time travel below the compaction horizon only works on
+                # unexpired deltas — fail loudly if any are gone
+                gone = [
+                    r
+                    for r in manifest.get("expired", {}).get(table, [])
+                    if r <= last
+                ]
+                if gone:
+                    raise ValueError(
+                        f"time travel to round {last} of '{table}' crosses the "
+                        f"compaction horizon ({horizon}) and deltas {gone} "
+                        f"are expired"
+                    )
+        paths += [
             self.delta_path(table, r)
-            for r in range(last + 1)
+            for r in range(start, last + 1)
             if Path(self.delta_path(table, r)).exists()
         ]
+        return paths
 
     def read_table(
         self, spark: SparkSession, table: str, upto_round: int | None = None
