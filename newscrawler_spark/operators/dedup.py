@@ -304,6 +304,19 @@ def minhash_lsh_dedup(
     )
 
 
+def doc_text(spans_col: str = "spans"):
+    """Flat text of an interleaved spans array (text-kind spans joined
+    by a space) — the projection the per-round dedup stage feeds to the
+    shingler; JVM higher-order functions, no Python."""
+    return F.array_join(
+        F.transform(
+            F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     hist_index: DataFrame | None,
@@ -314,6 +327,7 @@ def incremental_neardup(
     n_hashes: int = 16,
     band_size: int = 2,
     min_common: int = 3,
+    persist_fn=None,
 ) -> dict:
     """Cross-BATCH near-dup: check a new batch of docs against the
     accumulated corpus WITHOUT recomputing all pairs — the shape a
@@ -344,9 +358,17 @@ def incremental_neardup(
 
     Within-batch pairs are NOT included — run minhash_lsh_dedup on the
     batch for those (a batch is tiny next to the corpus).
+
+    ``persist_fn`` (optional) materializes the signature/band frames so
+    a caller writing all three outputs doesn't recompute the signature
+    aggregation per write (the scheduler passes localCheckpoint).
     """
     sig_new = minhash_signatures(new_docs, id_col, text_col, k, n_hashes)
+    if persist_fn is not None:
+        sig_new = persist_fn(sig_new)
     bands_new = signature_bands(sig_new, n_hashes, band_size)
+    if persist_fn is not None:
+        bands_new = persist_fn(bands_new)
     out = {"index_delta": bands_new, "sigs_delta": sig_new}
     if hist_index is None or hist_sigs is None:
         out["matches"] = sig_new.select(

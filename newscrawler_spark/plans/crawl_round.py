@@ -56,6 +56,11 @@ class RoundConfig:
     seen_filter: str = "bloom"
     # cuckoo sizing: fingerprint slots reserved per hash bucket
     cuckoo_capacity: int = 1 << 16
+    # per-round incremental dedup: check each round's new docs against
+    # the accumulated corpus LSH index (dedup.incremental_neardup) and
+    # write neardup/dedup_index/dedup_sigs deltas
+    dedup_docs: bool = False
+    dedup_min_common: int = 3
 
 
 @dataclass

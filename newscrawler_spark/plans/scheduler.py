@@ -205,6 +205,39 @@ def crawl(
             )
             _t(round_no, "write bloom", lambda: catalog.write_delta(new_bloom, "bloom", round_no))
 
+        # optional per-round incremental dedup: this round's docs delta
+        # vs the accumulated corpus index (the 100 TB pipeline's
+        # per-ingest dedup shape) — batch = the just-written docs delta
+        # (re-read, so the round lineage isn't re-executed), history =
+        # the committed index/signature deltas of earlier rounds
+        n_neardup = None
+        if conf.dedup_docs and n_docs > 0:
+            from ..operators.dedup import doc_text, incremental_neardup
+
+            batch = (
+                spark.read.schema(_schema.DOCS)
+                .parquet(catalog.delta_path("docs", round_no))
+                .select("doc_id", doc_text().alias("text"))
+            )
+            dd = incremental_neardup(
+                batch,
+                catalog.read_table(spark, "dedup_index", upto_round=round_no - 1),
+                catalog.read_table(spark, "dedup_sigs", upto_round=round_no - 1),
+                min_common=conf.dedup_min_common,
+                persist_fn=lambda df: df.localCheckpoint(eager=False),
+            )
+            n_neardup = _t(round_no, "write neardup", lambda: catalog.write_delta(
+                dd["matches"], "neardup", round_no
+            ))
+            _t(round_no, "write dedup_index", lambda: catalog.write_delta(
+                dd["index_delta"], "dedup_index", round_no
+            ))
+            _t(round_no, "write dedup_sigs", lambda: catalog.write_delta(
+                dd["sigs_delta"], "dedup_sigs", round_no
+            ))
+            for df in (dd["index_delta"], dd["sigs_delta"]):
+                df.unpersist()
+
         counters = {
             "scheduled": log_counts["order"],
             "docs": n_docs,
@@ -213,6 +246,8 @@ def crawl(
             "frontier_next": n_next,
             "wall_sec": round(_time.time() - t_round, 3),
         }
+        if n_neardup is not None:
+            counters["neardup_matches"] = n_neardup
         # A3/A4: per-round metrics row + budget accounting delta (the
         # reference's batch success/fail counters and APIKeyPool folds,
         # round-wise — see operators.scheduling.budget_accounting)

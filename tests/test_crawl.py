@@ -162,6 +162,67 @@ def test_crawl_with_cuckoo_filter_identical(spark, world, engine_result,
     )
 
 
+def test_per_round_incremental_dedup(spark, world, tmp_path_factory):
+    """conf.dedup_docs=True: each round's docs are probed against the
+    accumulated corpus LSH index; the union of the per-round neardup
+    deltas must equal a one-shot recompute restricted to cross-round
+    pairs (newer doc vs any strictly-earlier round's doc)."""
+    from newscrawler_spark.operators import dedup as DD
+
+    seeds, pages, budgets, robots = world
+    cat = Catalog(tmp_path_factory.mktemp("crawl_dedup"))
+    seed_frontier(cat, seeds)
+    conf = RoundConfig(n_buckets=16, m_bits=1 << 16, n_partitions=8,
+                       salt_factor=4, dedup_docs=True, dedup_min_common=3)
+    totals = crawl(spark, cat, FixtureFetcher(pages), budgets, robots,
+                   max_rounds=MAX_ROUNDS, conf=conf)
+    assert any("neardup_matches" in c for c in totals.values())
+
+    got_df = cat.read_table(spark, "neardup")
+    got = {(r.doc_id, r.dup_of, r.n_common) for r in got_df.collect()} if got_df is not None else set()
+
+    docs = cat.read_table(spark, "docs").select(
+        "doc_id", "round", DD.doc_text().alias("text")
+    )
+    sigs = DD.minhash_signatures(docs)
+    bands = DD.signature_bands(sigs).join(
+        docs.select("doc_id", "round"), "doc_id"
+    )
+    new_side = bands.select(
+        F.col("doc_id"), F.col("round").alias("r_new"), "band", "key"
+    )
+    old_side = bands.select(
+        F.col("doc_id").alias("dup_of"), F.col("round").alias("r_old"),
+        "band", "key",
+    )
+    cands = (
+        new_side.join(old_side, ["band", "key"])
+        .filter(F.col("r_new") > F.col("r_old"))
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    sn = sigs.select("doc_id", *[F.col(f"h{j}").alias(f"na{j}") for j in range(16)])
+    so = sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"h{j}").alias(f"ob{j}") for j in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"na{j}") == F.col(f"ob{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    want = {
+        (r.doc_id, r.dup_of, r.n_common)
+        for r in cands.join(sn, "doc_id").join(so, "dup_of")
+        .select("doc_id", "dup_of", agree.cast("int").alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+        .collect()
+    }
+    assert got == want
+    # and the index accounted for every doc (8 bands each)
+    idx = cat.read_table(spark, "dedup_index")
+    assert idx.count() == docs.count() * 8
+
+
 def test_search_sweep_caps_and_dedup(spark):
     """Video-side sweep: per-keyword cap (A5), pagination bounds (L1/L2),
     cross-keyword media dedup (A7) — checked against a python
