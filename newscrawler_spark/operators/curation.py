@@ -1,0 +1,187 @@
+"""Corpus-curation operators for the training-data pipeline surface:
+benchmark decontamination, Gopher/C4-style quality filtering, and PII
+scrubbing.
+
+These generalize the reference's per-article validation (non-empty
+checks, text cleanup — /root/reference/news_crawler/core/base.py:94-97)
+to the corpus-level filters a 100 TB pretraining pipeline runs before
+training: drop documents that leak evaluation benchmarks, drop
+low-quality documents with an auditable reason trail, and redact
+personally-identifying strings.
+
+Everything is JVM-side Column expressions (whole-stage codegen, no
+Python in the hot path), built on the same cross-engine primitives as
+functions/textops.py so the driver's DuckDB oracle reproduces every
+value bit-for-bit.
+
+Scale notes:
+  * ``decontaminate``: the benchmark side is tiny by construction
+    (eval suites are MBs, the corpus is TBs) → its distinct shingle
+    hashes are **broadcast**; the corpus side never shuffles for the
+    probe, and the only exchange is the map-side-combined count per
+    doc_id.  Shingles are md5_64-hashed to 8-byte keys before the join
+    so the broadcast table stays compact (16 M shingles ≈ 128 MB).
+  * ``quality_flags`` / ``pii_scrub``: embarrassingly parallel per-row
+    projections — zero shuffle, they pipeline into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textops as TX
+from ..xhash import md5_64
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+DECONTAM_K = 5  # word n-gram size shared between engines and tests
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``k``-gram with a benchmark.
+
+    Returns one row per corpus document:
+    ``(id_col, n_hits bigint, contaminated boolean)`` where ``n_hits``
+    is the number of *distinct* k-gram shingles of the document that
+    occur anywhere in the benchmark set.
+
+    The benchmark side is deduplicated to distinct shingle hashes and
+    broadcast; a document shorter than ``k`` words has no shingles and
+    is never flagged (matching the n-gram-overlap decontamination
+    convention used by public LLM data pipelines).
+    """
+    doc_sh = corpus.select(
+        id_col,
+        F.explode(F.array_distinct(TX.shingles(text_col, k))).alias("_s"),
+    ).select(id_col, md5_64(F.col("_s")).alias("_sh"))
+    bench_sh = (
+        benchmark.select(F.explode(TX.shingles(text_col, k)).alias("_s"))
+        .select(md5_64(F.col("_s")).alias("_sh"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality filtering (Gopher/C4-style rule set, public knowledge)
+# --------------------------------------------------------------------------
+
+# (rule name, appears in fail_reasons in this fixed order)
+QUALITY_RULES = ("n_words", "word_len", "stopwords", "punct")
+
+
+def quality_flags(text: Column | str) -> dict[str, Column]:
+    """The rule inputs + pass/fail columns for ``quality_filter``.
+
+    Exposed separately so callers can project individual signals; all
+    thresholds are integer/ratio comparisons reproducible in ANSI SQL.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ws = TX.words(c)
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda a, b: a + b
+    )
+    mean_wlen = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    stop_ratio = TX.stopword_ratio(c)
+    punct_ratio = TX.punct_ratio(c)
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wlen,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "ok_n_words": (n_words >= 10) & (n_words <= 100_000),
+        "ok_word_len": (mean_wlen >= 2.0) & (mean_wlen <= 12.0),
+        "ok_stopwords": stop_ratio >= 0.05,
+        "ok_punct": punct_ratio <= 0.3,
+    }
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality verdict with an auditable reason trail.
+
+    ``(id_col, n_words, mean_word_len, stop_ratio, punct_ratio,
+    fail_reasons string, keep boolean)`` — ``fail_reasons`` is the
+    comma-joined fixed-order list of failed rule names ('' if none), so
+    downstream filters can both drop and *explain* the drop.
+    """
+    q = quality_flags(text_col)
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(~q[f"ok_{r}"], F.lit(r))
+                    for r in QUALITY_RULES
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    keep = q["ok_n_words"] & q["ok_word_len"] & q["ok_stopwords"] & q["ok_punct"]
+    return docs.select(
+        id_col,
+        q["n_words"].alias("n_words"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(q["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        reasons.alias("fail_reasons"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Regex subset shared by Java (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, no lookaround/backreferences.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails/phones/IPv4s and count what was redacted.
+
+    ``(id_col, n_email, n_phone, n_ip, scrubbed string)`` — patterns
+    apply in the fixed PII_PATTERNS order (email before phone before
+    ip) so overlapping matches resolve identically everywhere.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = c
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(id_col, *counts, scrubbed.alias("scrubbed"))

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .canonical import PLATFORMS, with_url_identity
 from .functions import textops as TX
 from .functions.markdown import render_markdown
+from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import events as EV
 from .operators import similarity as SIM
@@ -837,6 +838,275 @@ FROM documents GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the whole corpus: the held-out
+    'benchmark' is the doc_id % 97 == 0 slice (benchmark sets are tiny
+    vs the corpus — the operator broadcasts their distinct 5-gram
+    hashes), and every document sharing a 5-gram with it is flagged.
+    Benchmark docs flag themselves by construction: a training corpus
+    containing the benchmark verbatim is exactly the leak this finds."""
+    docs = _doc(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return CUR.decontaminate(docs, bench, k=5)
+
+
+SQL_DECONTAMINATE = rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i FROM wl WHERE len(ws) >= 5),
+g1 AS (SELECT doc_id,
+              ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS s
+       FROM g0),
+sh AS (SELECT DISTINCT doc_id, {md5_64_sql('s')} AS sh FROM g1),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+hits AS (SELECT s.doc_id, count(*)::BIGINT AS n_hits
+         FROM sh s JOIN bench b USING (sh) GROUP BY s.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CUR.quality_filter(_doc(spark, sf_dir, "documents"))
+
+
+def _sql_quality_filter() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+    mean = "CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END"
+    stopr = "CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END"
+    punctr = "CASE WHEN n_nonspace > 0 THEN n_punct / n_nonspace ELSE 0.0 END"
+    oks = {
+        "n_words": "n_words BETWEEN 10 AND 100000",
+        "word_len": f"({mean}) BETWEEN 2.0 AND 12.0",
+        "stopwords": f"({stopr}) >= 0.05",
+        "punct": f"({punctr}) <= 0.3",
+    }
+    reasons = ", ".join(
+        f"CASE WHEN NOT ({oks[r]}) THEN '{r}' END" for r in CUR.QUALITY_RULES
+    )
+    keep = " AND ".join(f"({e})" for e in oks.values())
+    return rf"""
+WITH wl AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+stops AS (SELECT doc_id,
+                 sum(CASE WHEN lower(word) IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop
+          FROM w GROUP BY doc_id),
+b AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+             list_sum(list_transform(ws, x -> len(x)))::BIGINT AS sum_len,
+             len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+             len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+      FROM wl)
+SELECT b.doc_id, b.n_words,
+       round({mean}, 6) AS mean_word_len,
+       round({stopr}, 6) AS stop_ratio,
+       round({punctr}, 6) AS punct_ratio,
+       coalesce(array_to_string(list_filter([{reasons}], x -> x IS NOT NULL), ','), '') AS fail_reasons,
+       ({keep}) AS keep
+FROM b JOIN stops USING (doc_id)
+"""
+
+
+SQL_QUALITY_FILTER = _sql_quality_filter()
+
+
+def _pii_text_spark() -> F.Column:
+    """text + deterministically injected PII (doc_id % 4 selects kind)."""
+    rid = F.col("doc_id").cast("long")
+    s = rid.cast("string")
+    email = F.concat(F.lit(" contact user"), s, F.lit("@mail.example.com now"))
+    phone = F.concat(
+        F.lit(" call +1-555-"), F.format_string("%04d", rid % 10000), F.lit(" today")
+    )
+    ip = F.concat(
+        F.lit(" from 10."), (rid % 250).cast("string"), F.lit(".3.7 logged")
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(rid % 4 == 0, email)
+        .when(rid % 4 == 1, phone)
+        .when(rid % 4 == 2, ip)
+        .otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically injected
+    emails/phones/IPv4s (so every pattern path is exercised at every
+    sf); emits counts and the md5_64 of the scrubbed text — a hash
+    mismatch catches any divergence in the replacement itself."""
+    docs = _doc(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text_spark().alias("text")
+    )
+    out = CUR.pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        md5_64(F.col("scrubbed")).alias("scrub_hash"),
+        F.length("scrubbed").cast("long").alias("scrub_len"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    pii = (
+        "text || CASE (doc_id % 4)"
+        " WHEN 0 THEN ' contact user' || doc_id || '@mail.example.com now'"
+        " WHEN 1 THEN ' call +1-555-' || printf('%04d', doc_id % 10000) || ' today'"
+        " WHEN 2 THEN ' from 10.' || (doc_id % 250) || '.3.7 logged'"
+        " ELSE '' END"
+    )
+    scrub = "t"
+    for _, pat, repl in CUR.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in CUR.PII_PATTERNS
+    )
+    return rf"""
+WITH p AS (SELECT doc_id, {pii} AS t FROM documents)
+SELECT doc_id, {counts},
+       {md5_64_sql(scrub)} AS scrub_hash,
+       len({scrub})::BIGINT AS scrub_len
+FROM p
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (sources/robots.py)
+# ---------------------------------------------------------------------------
+
+# Bodies are synthesized per derived domain from fixed templates chosen
+# by domain ordinal; together they cover the documented grammar subset:
+# group selection (specific beats '*'), multi-UA runs, comments, CRLF,
+# preamble rules, empty/wildcard values, crawl-delay attachment and the
+# '/' allow-carrier, and non-robots garbage.
+ROBOTS_TEMPLATES: list[str] = [
+    "User-agent: *\nDisallow: /private-{d}\nAllow: /private-{d}/ok\n",
+    (
+        "User-agent: googlebot\nDisallow: /google-only\n\n"
+        "User-agent: newscrawler\nDisallow: /api-{d}\nCrawl-delay: 2.5\n\n"
+        "User-agent: *\nDisallow: /everything\n"
+    ),
+    "User-agent: a\nUser-agent: newscrawler\nUser-agent: b\nDisallow: /shared-{d}\n",
+    "# header\r\nUSER-AGENT: * # trailing\r\nDISALLOW: /x-{d} # why\r\nCrawl-Delay: 1.5\r\n",
+    (
+        "Disallow: /preamble-ignored\nUser-agent: *\nDisallow:\n"
+        "Disallow: /w*ld\nDisallow: /end$\nDisallow: /lit-{d}\n"
+    ),
+    "User-agent: *\nCrawl-delay: 7\n",
+    "User-agent: *\nDisallow: /\n",
+    "not a robots file at all\n<<<>>>\n",
+]
+
+ROBOTS_N_DOMAINS = 120
+
+
+def _robots_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doms = (
+        _doc(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % ROBOTS_N_DOMAINS).cast("long").alias("did"))
+        .distinct()
+    )
+    d = F.col("did").cast("string")
+    body = None
+    for i, t in enumerate(ROBOTS_TEMPLATES):
+        parts: list = []
+        for j, piece in enumerate(t.split("{d}")):
+            if j:
+                parts.append(d)
+            parts.append(F.lit(piece))
+        e = F.concat(*parts)
+        cond = F.col("did") % len(ROBOTS_TEMPLATES) == i
+        body = F.when(cond, e) if body is None else body.when(cond, e)
+    return doms.select(
+        F.concat(F.lit("site-"), d, F.lit(".example")).alias("domain"),
+        body.alias("body"),
+    )
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full robots.txt line grammar + RFC 9309 group selection
+    (sources/robots.py, entirely JVM-side) over templated bodies; the
+    oracle re-implements the same grammar independently in DuckDB SQL."""
+    from .sources.robots import parse_robots
+
+    return parse_robots(_robots_bodies(spark, sf_dir), agent="newscrawler")
+
+
+def _sql_robots_rules() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    arms = []
+    for i, t in enumerate(ROBOTS_TEMPLATES):
+        expr = " || (did::VARCHAR) || ".join(lit(p) for p in t.split("{d}"))
+        arms.append(f"WHEN {i} THEN {expr}")
+    body_case = f"CASE (did % {len(ROBOTS_TEMPLATES)}) " + " ".join(arms) + " END"
+    return rf"""
+WITH doms AS (SELECT DISTINCT (doc_id % {ROBOTS_N_DOMAINS}) AS did FROM documents),
+bodies AS (SELECT 'site-' || did || '.example' AS domain, {body_case} AS body FROM doms),
+ls AS (SELECT domain, string_split_regex(body, '\r?\n') AS lns FROM bodies),
+lines AS (SELECT domain, unnest(lns) AS line, unnest(range(len(lns))) AS pos FROM ls),
+cl AS (SELECT domain, pos, trim(regexp_replace(line, '#.*$', '')) AS clean FROM lines),
+parsed AS (
+  SELECT domain, pos,
+         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS key,
+         trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS val
+  FROM cl
+  WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+g1 AS (SELECT *, lag(key) OVER (PARTITION BY domain ORDER BY pos) AS prev_key FROM parsed),
+g2 AS (SELECT *, CASE WHEN key = 'user-agent'
+                       AND (prev_key IS NULL OR prev_key <> 'user-agent')
+                      THEN 1 ELSE 0 END AS gs FROM g1),
+g3 AS (SELECT *, sum(gs) OVER (PARTITION BY domain ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS gid FROM g2),
+grp AS (
+  SELECT domain, gid,
+         list(CASE WHEN key = 'user-agent' THEN lower(val) END) AS agents,
+         list(CASE WHEN key IN ('allow', 'disallow')
+                   THEN {{'allow': key = 'allow', 'path_prefix': val}} END) AS rules,
+         max(CASE WHEN key = 'crawl-delay' THEN TRY_CAST(val AS DOUBLE) END) AS crawl_delay_s
+  FROM g3 WHERE gid > 0 GROUP BY domain, gid
+),
+sel0 AS (SELECT *, list_contains(agents, 'newscrawler') AS match_specific,
+                list_contains(agents, '*') AS has_star FROM grp),
+sel1 AS (SELECT *, max(CASE WHEN match_specific THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY domain) = 1 AS any_specific FROM sel0),
+selected AS (SELECT * FROM sel1
+             WHERE CASE WHEN any_specific THEN match_specific
+                        ELSE coalesce(has_star, FALSE) END),
+seld AS (SELECT *, max(crawl_delay_s) OVER (PARTITION BY domain) AS dom_delay FROM selected),
+expl AS (SELECT domain, dom_delay,
+                unnest(list_filter(rules, r -> r.path_prefix IS NOT NULL
+                                            AND starts_with(r.path_prefix, '/')
+                                            AND NOT contains(r.path_prefix, '*')
+                                            AND NOT contains(r.path_prefix, '$'))) AS r
+         FROM seld),
+base AS (SELECT DISTINCT domain, r.path_prefix AS path_prefix, r.allow AS allow,
+                         dom_delay AS crawl_delay_s
+         FROM expl),
+dom AS (SELECT domain, max(dom_delay) AS dom_delay FROM seld GROUP BY domain),
+have_root AS (SELECT DISTINCT domain FROM base WHERE path_prefix = '/'),
+carrier AS (SELECT d.domain, '/' AS path_prefix, TRUE AS allow, d.dom_delay AS crawl_delay_s
+            FROM dom d
+            WHERE d.dom_delay IS NOT NULL
+              AND d.domain NOT IN (SELECT domain FROM have_root))
+SELECT domain, path_prefix, allow, crawl_delay_s FROM base
+UNION ALL
+SELECT domain, path_prefix, allow, crawl_delay_s FROM carrier
+"""
+
+
+SQL_ROBOTS_RULES = _sql_robots_rules()
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
@@ -1260,6 +1530,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "text_stats": q_text_stats,
     "token_stats_by_source": q_token_stats_by_source,
+    "decontaminate": q_decontaminate,
+    "quality_filter": q_quality_filter,
+    "pii_scrub": q_pii_scrub,
+    "robots_rules": q_robots_rules,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1297,6 +1571,10 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "token_stats_by_source": SQL_TOKEN_STATS_BY_SOURCE,
+    "decontaminate": SQL_DECONTAMINATE,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "pii_scrub": SQL_PII_SCRUB,
+    "robots_rules": SQL_ROBOTS_RULES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -1,0 +1,76 @@
+"""Corpus-curation operators (operators/curation.py): semantics on
+crafted inputs where the right answer is known by construction.  The
+driver's oracle harness additionally checks these against DuckDB on the
+sf tables (queries decontaminate / quality_filter / pii_scrub)."""
+
+from __future__ import annotations
+
+import pytest
+
+from newscrawler_spark.operators import curation as CUR
+
+FIVE = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, f"intro words here then {FIVE} and a tail of more words"),  # leaks
+        (1, "no overlap with anything benchmark related at all in this text"),
+        (2, "alpha beta gamma delta"),  # 4 words < k: never flagged
+        (3, FIVE),  # the benchmark doc itself, present in the corpus
+        (4, f"{FIVE} {FIVE} repeated leak still counts each distinct gram once"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_ngram_leaks(spark, corpus):
+    bench = spark.createDataFrame([(99, FIVE)], "doc_id long, text string")
+    out = {r.doc_id: r for r in CUR.decontaminate(corpus, bench, k=5).collect()}
+    assert len(out) == 5  # one row per corpus doc, hit or not
+    assert out[0].contaminated and out[0].n_hits == 1
+    assert not out[1].contaminated and out[1].n_hits == 0
+    assert not out[2].contaminated  # too short to shingle
+    assert out[3].contaminated  # verbatim benchmark in corpus
+    # distinct shingles only: doc 4 shares several 5-grams spanning the
+    # repetition, but each counts once and only those in the benchmark
+    assert out[4].contaminated and out[4].n_hits == 1
+
+
+def test_quality_filter_reasons_per_rule(spark):
+    stopful = "the cat sat on the mat with a hat and a bat in the flat"
+    rows = [
+        (0, stopful),  # passes everything
+        (1, "too few"),  # n_words
+        (2, " ".join(["antidisestablishmentarianism"] * 20)),  # word_len + stopwords
+        (3, " ".join(["rock"] * 30)),  # no stopwords
+        (4, "the " * 10 + "!!! ??? *** ### $$$ %%% ^^^ &&& @@@ ;;; ::: ..."),  # punct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CUR.quality_filter(docs).collect()}
+    assert out[0].keep and out[0].fail_reasons == ""
+    assert not out[1].keep and "n_words" in out[1].fail_reasons
+    assert set(out[2].fail_reasons.split(",")) == {"word_len", "stopwords"}
+    assert out[3].fail_reasons == "stopwords"
+    assert not out[4].keep and "punct" in out[4].fail_reasons
+    # reasons are emitted in fixed QUALITY_RULES order
+    assert out[2].fail_reasons == "word_len,stopwords"
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (0, "mail a.b-c@sub.example.org or x@y.io please"),
+        (1, "call +1-555-0123 or 44-555-9999 now"),
+        (2, "hosts 10.0.0.1 and 192.168.255.3"),
+        (3, "clean text with no identifiers at all"),
+        (4, "mixed joe@ex.com 1-555-0000 127.0.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CUR.pii_scrub(docs).collect()}
+    assert (out[0].n_email, out[0].n_phone, out[0].n_ip) == (2, 0, 0)
+    assert out[0].scrubbed == "mail <EMAIL> or <EMAIL> please"
+    assert out[1].n_phone == 2 and out[1].scrubbed == "call <PHONE> or <PHONE> now"
+    assert out[2].n_ip == 2 and out[2].scrubbed == "hosts <IP> and <IP>"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ip) == (0, 0, 0)
+    assert out[3].scrubbed == rows[3][1]
+    assert out[4].scrubbed == "mixed <EMAIL> <PHONE> <IP>"
