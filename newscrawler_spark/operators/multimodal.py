@@ -79,6 +79,90 @@ def decode_media(
     return media.select(id_col, bytes_col).mapInPandas(run, schema=MEDIA_META_DDL)
 
 
+FEATURE_DIM = 16
+
+
+def _feat_val(payload: bytes, i: int) -> float:
+    """Deterministic fake feature dimension in [-1, 1]: md5-derived
+    integer arithmetic, so a SQL oracle reproduces it bit-for-bit."""
+    h = int(
+        hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()[:15], 16
+    )
+    return (h % 2000001 - 1000000) / 1000000.0
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = FEATURE_DIM,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas feature-extraction stage: (media_id, payload:binary)
+    → (media_id, features:array<double>).
+
+    The embedding itself is the STUBBED codec step (a real cluster swaps
+    ``_feat_val`` for a CLIP/whisper-style encoder over the same Arrow
+    batches); the plumbing — binary in, fixed-dim vector out, NULL for
+    empty payloads — is the production shape feeding similarity.py's
+    ANN operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, p in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(str(mid))
+                if p is None or len(p) == 0:
+                    feats.append(None)
+                else:
+                    feats.append([_feat_val(bytes(p), i) for i in range(dim)])
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return media.select(id_col, bytes_col).mapInPandas(
+        run, schema="media_id string, features array<double>"
+    )
+
+
+def resize_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+    width_col: str = "target_w",
+    height_col: str = "target_h",
+) -> DataFrame:
+    """mapInPandas resize stage: (media_id, payload, target_w, target_h)
+    → (media_id, width, height, n_bytes, payload:binary).
+
+    The fake 'resized' payload is the md5 hex digest of the input tiled
+    to the size a target_w x target_h thumbnail would occupy
+    (32 + w*h/64 bytes) — deterministic and SQL-reproducible; a real
+    cluster swaps the body for PIL ``Image.resize`` keeping schema and
+    batch shape.  Empty inputs resize to empty outputs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, w, h in zip(
+                pdf[id_col], pdf[bytes_col], pdf[width_col], pdf[height_col]
+            ):
+                w, h = int(w), int(h)
+                if p is None or len(p) == 0:
+                    rows.append((str(mid), w, h, 0, b""))
+                else:
+                    n = 32 + (w * h) // 64
+                    hexd = hashlib.md5(bytes(p)).hexdigest()
+                    data = (hexd * ((n + 31) // 32))[:n].encode()
+                    rows.append((str(mid), w, h, n, data))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes", "payload"],
+            )
+
+    return media.select(id_col, bytes_col, width_col, height_col).mapInPandas(
+        run,
+        schema="media_id string, width int, height int, n_bytes int, payload binary",
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_n: int = 30, id_col: str = "media_id"
 ) -> DataFrame:

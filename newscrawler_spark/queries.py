@@ -1274,6 +1274,83 @@ FROM m
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (operators/multimodal.py
+    ``extract_features``): binary payloads → fixed-dim vectors over
+    Arrow batches; the oracle recomputes four sampled dimensions from
+    the same md5 arithmetic (the full vector is pytest-covered)."""
+    from .operators.multimodal import extract_features
+
+    docs = _doc(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in (0, 5, 10, 15)
+        ],
+    )
+
+
+def _sql_multimodal_features() -> str:
+    dims = ", ".join(
+        f"CASE WHEN len(text) = 0 THEN NULL ELSE "
+        f"(({md5_64_sql(f'''text || '#{i}' ''')}) % 2000001 - 1000000) / 1000000.0 "
+        f"END AS f{i}"
+        for i in (0, 5, 10, 15)
+    )
+    return f"""
+SELECT doc_id::VARCHAR AS media_id, {dims} FROM documents
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.py ``resize_media``):
+    per-media target dims ride as columns, the fake resized payload is
+    md5-tiled to thumbnail size; the oracle rebuilds the same bytes in
+    SQL and must agree on the output hash."""
+    from .operators.multimodal import resize_media
+
+    docs = _doc(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (32 + (F.col("doc_id") % 16) * 16).cast("int").alias("target_w"),
+        (32 + (F.col("doc_id") % 9) * 16).cast("int").alias("target_h"),
+    )
+    out = resize_media(media)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        md5_64(F.decode("payload", "utf-8")).alias("payload_hash"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH m AS (SELECT doc_id, text,
+                  (32 + (doc_id % 16) * 16)::INT AS w,
+                  (32 + (doc_id % 9) * 16)::INT AS h
+           FROM documents),
+n AS (SELECT doc_id, text, w, h,
+             CASE WHEN len(text) = 0 THEN 0 ELSE 32 + (w * h) // 64 END AS n_bytes
+      FROM m),
+r AS (SELECT doc_id, w, h, n_bytes,
+             CASE WHEN n_bytes = 0 THEN ''
+                  ELSE substr(repeat(md5(text), (n_bytes + 31) // 32), 1, n_bytes)
+             END AS payload
+      FROM n)
+SELECT doc_id::VARCHAR AS media_id, w AS width, h AS height, n_bytes::INT AS n_bytes,
+       {md5_64_sql("payload")} AS payload_hash
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event windows (stream-shaped, batch form)
 # ---------------------------------------------------------------------------
@@ -1539,6 +1616,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "search_sweep": q_search_sweep,
@@ -1580,6 +1659,8 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "search_sweep": SQL_SEARCH_SWEEP,

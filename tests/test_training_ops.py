@@ -271,6 +271,34 @@ def test_multimodal_decode_plumbing(spark):
     assert all(64 <= r.width < 1920 for r in out.values() if r.ok)
 
 
+def test_multimodal_feature_and_resize_plumbing(spark):
+    from newscrawler_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _feat_val,
+        extract_features,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"img-bytes-a"), ("b", b"img-bytes-b"), ("e", b"")],
+        "media_id string, payload binary",
+    )
+    feats = {r.media_id: r.features for r in extract_features(df).collect()}
+    assert feats["e"] is None  # empty payload -> no vector
+    assert len(feats["a"]) == FEATURE_DIM
+    assert all(-1.0 <= v <= 1.0 for v in feats["a"])
+    assert feats["a"] != feats["b"]
+    assert feats["a"][3] == _feat_val(b"img-bytes-a", 3)  # deterministic
+
+    sized = df.withColumn("target_w", F.lit(64)).withColumn("target_h", F.lit(32))
+    out = {r.media_id: r for r in resize_media(sized).collect()}
+    assert out["e"].n_bytes == 0 and bytes(out["e"].payload) == b""
+    want_n = 32 + (64 * 32) // 64
+    assert out["a"].n_bytes == want_n == len(bytes(out["a"].payload))
+    assert (out["a"].width, out["a"].height) == (64, 32)
+    assert bytes(out["a"].payload) != bytes(out["b"].payload)
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (1, "2024-01-01 10:00:00", 7, "a", 1.0, "{}"),
