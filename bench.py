@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "incremental_neardup",
     "simhash",
     "text_stats",
+    "decontaminate",
+    "quality_filter",
+    "pii_scrub",
+    "multimodal_features",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embed_neardup",

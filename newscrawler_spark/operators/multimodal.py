@@ -168,11 +168,14 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame index with deterministic fake frame count (the real
-    count comes from the container header on a cluster).
+    count comes from the container header on a cluster; the fake uses
+    the cross-engine md5_64 so a SQL oracle reproduces the plan).
 
     Returns (media_id, frame_idx).
     """
-    fake_frames = (F.pmod(F.abs(F.xxhash64(id_col)), F.lit(300)) + F.lit(30)).cast("int")
+    from ..xhash import md5_64
+
+    fake_frames = (F.pmod(md5_64(F.col(id_col)), F.lit(300)) + F.lit(30)).cast("int")
     return media.select(
         F.col(id_col).alias("media_id"),
         F.explode(

@@ -1351,6 +1351,25 @@ FROM r
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.py
+    ``frame_sample_plan``): one row per sampled frame index, every 30th
+    frame of a deterministic fake per-video frame count."""
+    from .operators.multimodal import frame_sample_plan
+
+    docs = _doc(spark, sf_dir, "documents")
+    media = docs.select(F.col("doc_id").cast("string").alias("media_id"))
+    return frame_sample_plan(media, every_n=30)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH m AS (SELECT doc_id::VARCHAR AS media_id,
+                  (({md5_64_sql("doc_id::VARCHAR")}) % 300 + 30)::INT AS n_frames
+           FROM documents)
+SELECT media_id, unnest(range(0, n_frames, 30))::INT AS frame_idx FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event windows (stream-shaped, batch form)
 # ---------------------------------------------------------------------------
@@ -1618,6 +1637,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "search_sweep": q_search_sweep,
@@ -1661,6 +1681,7 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "search_sweep": SQL_SEARCH_SWEEP,
