@@ -155,6 +155,60 @@ def quality_filter(
 
 
 # --------------------------------------------------------------------------
+# Composite curation verdict
+# --------------------------------------------------------------------------
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    neardup_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The whole curation decision in one pass: a document survives iff
+    it passes the quality rules, shares no k-gram with the benchmark,
+    AND is its duplicate-cluster representative (smallest id — the
+    engine's first-wins rule).
+
+    Returns ``(id_col, keep boolean, drop_reasons string)`` where
+    ``drop_reasons`` appends 'contaminated' / 'duplicate' to the
+    quality rule names in fixed order — the per-document audit trail a
+    100 TB curation run needs to answer "why was this dropped".
+
+    Shape: three independent verdicts joined on the id — all three
+    shuffles hash on the same key, so the exchanges line up; the
+    expensive inputs (benchmark shingles, near-dup edges) keep their
+    own operators' broadcast/band-join bounds.
+    """
+    from .dedup import dup_clusters
+
+    q = quality_filter(docs, text_col, id_col).select(
+        id_col, F.col("keep").alias("q_keep"), "fail_reasons"
+    )
+    c = decontaminate(docs, benchmark, text_col, id_col).select(
+        id_col, "contaminated"
+    )
+    d = dup_clusters(docs, neardup_pairs, id_col).select(id_col, "cluster_id")
+    j = q.join(c, id_col).join(d, id_col)
+    is_rep = F.col("cluster_id") == F.col(id_col)
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                F.when(F.col("fail_reasons") != "", F.col("fail_reasons")),
+                F.when(F.col("contaminated"), F.lit("contaminated")),
+                F.when(~is_rep, F.lit("duplicate")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    keep = F.col("q_keep") & ~F.col("contaminated") & is_rep
+    return j.select(
+        id_col, keep.alias("keep"), reasons.alias("drop_reasons")
+    )
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing
 # --------------------------------------------------------------------------
 

@@ -975,6 +975,39 @@ FROM p
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation verdict (operators/curation.py
+    ``curate_corpus``): quality rules x benchmark decontamination x
+    duplicate-representative selection, one keep/drop + reason trail
+    per document.  The oracle composes the three operators' own SQL
+    twins as subqueries — each leg stays independently re-derived."""
+    docs = _doc(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    pairs = DD.minhash_lsh_dedup(
+        docs, k=3, n_hashes=16, band_size=2, threshold=0.05
+    )
+    return CUR.curate_corpus(docs, bench, pairs)
+
+
+def _sql_curate_pipeline() -> str:
+    reasons = """coalesce(array_to_string(list_filter([
+        CASE WHEN q.fail_reasons <> '' THEN q.fail_reasons END,
+        CASE WHEN c.contaminated THEN 'contaminated' END,
+        CASE WHEN d.cluster_id <> d.doc_id THEN 'duplicate' END
+    ], x -> x IS NOT NULL), ','), '')"""
+    return f"""
+SELECT q.doc_id,
+       (q.keep AND NOT c.contaminated AND d.cluster_id = d.doc_id) AS keep,
+       {reasons} AS drop_reasons
+FROM ({SQL_QUALITY_FILTER}) q
+JOIN ({SQL_DECONTAMINATE}) c ON q.doc_id = c.doc_id
+JOIN ({SQL_DUP_CLUSTERS}) d ON q.doc_id = d.doc_id
+"""
+
+
+SQL_CURATE_PIPELINE = _sql_curate_pipeline()
+
+
 # ---------------------------------------------------------------------------
 # robots.txt parsing (sources/robots.py)
 # ---------------------------------------------------------------------------
@@ -1629,6 +1662,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
+    "curate_pipeline": q_curate_pipeline,
     "robots_rules": q_robots_rules,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1673,6 +1707,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "quality_filter": SQL_QUALITY_FILTER,
     "pii_scrub": SQL_PII_SCRUB,
+    "curate_pipeline": SQL_CURATE_PIPELINE,
     "robots_rules": SQL_ROBOTS_RULES,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,

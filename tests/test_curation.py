@@ -57,6 +57,26 @@ def test_quality_filter_reasons_per_rule(spark):
     assert out[2].fail_reasons == "word_len,stopwords"
 
 
+def test_curate_corpus_composite_verdict(spark):
+    stopful = "the cat sat on the mat with a hat and a bat in the flat"
+    rows = [
+        (0, stopful + " plus unique tail zero"),        # survives
+        (1, stopful + " plus unique tail zero"),        # dup of 0 -> dropped
+        (2, "too few"),                                  # quality drop
+        (3, f"{stopful} {FIVE} benchmark leak inside"),  # contaminated
+        (4, stopful + " another clean survivor text"),   # survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(99, FIVE)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in CUR.curate_corpus(docs, bench, pairs).collect()}
+    assert out[0].keep and out[0].drop_reasons == ""
+    assert not out[1].keep and out[1].drop_reasons == "duplicate"
+    assert not out[2].keep and "n_words" in out[2].drop_reasons
+    assert not out[3].keep and out[3].drop_reasons == "contaminated"
+    assert out[4].keep
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     rows = [
         (0, "mail a.b-c@sub.example.org or x@y.io please"),
