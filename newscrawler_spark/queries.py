@@ -837,6 +837,38 @@ FROM documents GROUP BY source
 """
 
 
+VOCAB_K = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: BPE-ish tokens → global top-K by count
+    with a total-order tie-break (count desc, token asc).  Scale shape:
+    the groupBy does map-side partial counts and the ordered limit
+    compiles to TakeOrderedAndProject — every partition keeps only K
+    rows, so no global sort ever materializes."""
+    docs = _doc(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TX.TOKEN_REGEX), F.lit(0))
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+SQL_VOCAB_TOPK = rf"""
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (operators/curation.py)
 # ---------------------------------------------------------------------------
@@ -1659,6 +1691,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "text_stats": q_text_stats,
     "token_stats_by_source": q_token_stats_by_source,
+    "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "quality_filter": q_quality_filter,
     "pii_scrub": q_pii_scrub,
@@ -1704,6 +1737,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "token_stats_by_source": SQL_TOKEN_STATS_BY_SOURCE,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "decontaminate": SQL_DECONTAMINATE,
     "quality_filter": SQL_QUALITY_FILTER,
     "pii_scrub": SQL_PII_SCRUB,
