@@ -213,11 +213,36 @@ def curate_corpus(
 # --------------------------------------------------------------------------
 
 # Regex subset shared by Java (Spark) and RE2 (DuckDB): character
-# classes, bounded repetition, no lookaround/backreferences.
+# classes, bounded repetition, ordered alternation, \b — both engines
+# run leftmost-first here (RE2's default longest_match=false), no
+# lookaround/backreferences.  Coverage is documented best-effort NANP-ish
+# redaction, not a PII guarantee: phone covers +cc / (555) / dotted /
+# spaced / hyphenated 10-digit forms plus 7-digit local forms; ip is
+# IPv4 with octets bounded to 0-255 (999.999.999.999 no longer
+# matches); IPv6 is out of scope (would need case-insensitive hex
+# grouping both engines treat identically — revisit if corpora need it).
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
-    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (
+        "phone",
+        # branch 1: 10-digit NANP body with optional country code and
+        # -/./space/paren separators; branch 2: the 7-digit cc-exchange-
+        # local form the original pattern covered (+1-555-0123).  The
+        # longer branch is FIRST — both engines pick alternatives in
+        # order at each start position, so branch order is part of the
+        # cross-engine contract.
+        r"(\+?[0-9]{1,3}[-. ])?(\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ]?[0-9]{4}"
+        r"|\+?[0-9]{1,3}[-. ][0-9]{3}[-. ]?[0-9]{4}",
+        "<PHONE>",
+    ),
+    (
+        "ip",
+        r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
 )
 
 

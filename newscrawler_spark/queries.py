@@ -949,8 +949,17 @@ def _pii_text_spark() -> F.Column:
     rid = F.col("doc_id").cast("long")
     s = rid.cast("string")
     email = F.concat(F.lit(" contact user"), s, F.lit("@mail.example.com now"))
+    # phone format varies by doc_id so every alternation branch of the
+    # broadened pattern (cc-hyphen, parens, dotted) is exercised
+    area = F.format_string("%03d", rid % 1000)
+    local = F.format_string("%04d", rid % 10000)
+    p0 = F.concat(F.lit("+1-555-"), area, F.lit("-"), local)
+    p1 = F.concat(F.lit("(555) "), area, F.lit("-"), local)
+    p2 = F.concat(F.lit("555."), area, F.lit("."), local)
     phone = F.concat(
-        F.lit(" call +1-555-"), F.format_string("%04d", rid % 10000), F.lit(" today")
+        F.lit(" call "),
+        F.when(rid % 3 == 0, p0).when(rid % 3 == 1, p1).otherwise(p2),
+        F.lit(" today"),
     )
     ip = F.concat(
         F.lit(" from 10."), (rid % 250).cast("string"), F.lit(".3.7 logged")
@@ -984,7 +993,13 @@ def _sql_pii_scrub() -> str:
     pii = (
         "text || CASE (doc_id % 4)"
         " WHEN 0 THEN ' contact user' || doc_id || '@mail.example.com now'"
-        " WHEN 1 THEN ' call +1-555-' || printf('%04d', doc_id % 10000) || ' today'"
+        " WHEN 1 THEN ' call ' || CASE (doc_id % 3)"
+        "   WHEN 0 THEN '+1-555-' || printf('%03d', doc_id % 1000)"
+        "     || '-' || printf('%04d', doc_id % 10000)"
+        "   WHEN 1 THEN '(555) ' || printf('%03d', doc_id % 1000)"
+        "     || '-' || printf('%04d', doc_id % 10000)"
+        "   ELSE '555.' || printf('%03d', doc_id % 1000)"
+        "     || '.' || printf('%04d', doc_id % 10000) END || ' today'"
         " WHEN 2 THEN ' from 10.' || (doc_id % 250) || '.3.7 logged'"
         " ELSE '' END"
     )
@@ -1060,7 +1075,7 @@ ROBOTS_TEMPLATES: list[str] = [
     "# header\r\nUSER-AGENT: * # trailing\r\nDISALLOW: /x-{d} # why\r\nCrawl-Delay: 1.5\r\n",
     (
         "Disallow: /preamble-ignored\nUser-agent: *\nDisallow:\n"
-        "Disallow: /w*ld\nDisallow: /end$\nDisallow: /lit-{d}\n"
+        "Disallow: /w*ld\nDisallow: /end$\nDisallow: rel-{d}\nDisallow: /lit-{d}\n"
     ),
     "User-agent: *\nCrawl-delay: 7\n",
     "User-agent: *\nDisallow: /\n",
@@ -1134,8 +1149,16 @@ g3 AS (SELECT *, sum(gs) OVER (PARTITION BY domain ORDER BY pos
 grp AS (
   SELECT domain, gid,
          list(CASE WHEN key = 'user-agent' THEN lower(val) END) AS agents,
-         list(CASE WHEN key IN ('allow', 'disallow')
-                   THEN {{'allow': key = 'allow', 'path_prefix': val}} END) AS rules,
+         list(CASE WHEN key = 'allow' AND starts_with(val, '/')
+                        AND NOT contains(val, '*') AND NOT contains(val, '$')
+                   THEN {{'allow': TRUE, 'path_prefix': val}}
+                   WHEN key = 'disallow' AND val <> ''
+                   THEN {{'allow': FALSE, 'path_prefix':
+                         CASE WHEN regexp_extract(val, '^([^*$]*)', 1) = '' THEN '/'
+                              WHEN starts_with(regexp_extract(val, '^([^*$]*)', 1), '/')
+                              THEN regexp_extract(val, '^([^*$]*)', 1)
+                              ELSE '/' || regexp_extract(val, '^([^*$]*)', 1) END}}
+              END) AS rules,
          max(CASE WHEN key = 'crawl-delay' THEN TRY_CAST(val AS DOUBLE) END) AS crawl_delay_s
   FROM g3 WHERE gid > 0 GROUP BY domain, gid
 ),
@@ -1148,10 +1171,7 @@ selected AS (SELECT * FROM sel1
                         ELSE coalesce(has_star, FALSE) END),
 seld AS (SELECT *, max(crawl_delay_s) OVER (PARTITION BY domain) AS dom_delay FROM selected),
 expl AS (SELECT domain, dom_delay,
-                unnest(list_filter(rules, r -> r.path_prefix IS NOT NULL
-                                            AND starts_with(r.path_prefix, '/')
-                                            AND NOT contains(r.path_prefix, '*')
-                                            AND NOT contains(r.path_prefix, '$'))) AS r
+                unnest(list_filter(rules, r -> r.path_prefix IS NOT NULL)) AS r
          FROM seld),
 base AS (SELECT DISTINCT domain, r.path_prefix AS path_prefix, r.allow AS allow,
                          dom_delay AS crawl_delay_s

@@ -23,11 +23,20 @@ tests):
   * group selection per RFC 9309 §2.2.1: if any group names our agent
     (exact, case-insensitive), those groups apply and `*` groups are
     ignored; otherwise the `*` groups apply;
-  * `Allow` / `Disallow` values must be literal path prefixes starting
-    with `/`; empty values (the "allow everything" idiom) and values
-    containing the `*`/`$` wildcards are dropped — the engine's
-    matcher (apply_robots) is longest-literal-prefix, and a dropped
-    rule fails OPEN on allow (matching the matcher's default-allow);
+  * the engine's matcher (apply_robots) is longest-literal-prefix, so
+    `Allow`/`Disallow` values normalize to literal prefixes with a
+    FAIL-CLOSED bias (RFC 9309 §2.2.3 makes `*`/`$` mandatory; a crawler
+    that drops a Disallow open is a politeness regression):
+      - `Disallow` values truncate at the first `*`/`$` and keep the
+        literal prefix as the rule (conservative over-blocking:
+        `/private*` → `/private`, `*` → `/`); RFC-invalid values not
+        starting with `/` get one prepended (`private` → `/private`);
+        an EMPTY value is the standard "allow everything" idiom and is
+        dropped (that open default is the RFC's, not a wildcard drop);
+      - `Allow` values keep only literal `/`-prefixed forms; wildcard
+        or relative Allows are dropped — failing an Allow means any
+        covering Disallow still blocks, i.e. over-blocking, never
+        under-blocking;
   * `Crawl-delay: <seconds>` attaches to every rule row of its group;
     a matched group with a delay but no path rules emits an
     (`/`, allow=true, delay) row so the delay still reaches the
@@ -66,9 +75,28 @@ def parse_robots(bodies: DataFrame, agent: str = "newscrawler") -> DataFrame:
         .filter(F.col("key").isin(*RULE_KEYS))
     )
 
+    # fail-closed rule normalization (see module docstring): disallow
+    # keeps the literal prefix before the first wildcard; allow keeps
+    # only literal '/'-prefixed values; NULL = rule dropped
+    cut = F.regexp_extract("val", r"^([^*$]*)", 1)
+    dis_path = F.when(F.col("val") == "", F.lit(None).cast("string")).otherwise(
+        F.when(cut == "", F.lit("/"))
+        .when(cut.startswith("/"), cut)
+        .otherwise(F.concat(F.lit("/"), cut))
+    )
+    allow_ok = (
+        F.col("val").startswith("/")
+        & ~F.col("val").contains("*")
+        & ~F.col("val").contains("$")
+    )
+    rule_path = F.when(
+        F.col("key") == "allow", F.when(allow_ok, F.col("val"))
+    ).when(F.col("key") == "disallow", dis_path)
+
     w = Window.partitionBy("domain").orderBy("pos")
     grouped = (
-        parsed.withColumn("prev_key", F.lag("key").over(w))
+        parsed.withColumn("rule_path", rule_path)
+        .withColumn("prev_key", F.lag("key").over(w))
         .withColumn(
             "group_start",
             (
@@ -99,7 +127,7 @@ def parse_robots(bodies: DataFrame, agent: str = "newscrawler") -> DataFrame:
                 F.struct(
                     F.col("pos").alias("pos"),
                     (F.col("key") == "allow").alias("allow"),
-                    F.col("val").alias("path_prefix"),
+                    F.col("rule_path").alias("path_prefix"),
                 ),
             )
         ).alias("rules"),
@@ -128,14 +156,8 @@ def parse_robots(bodies: DataFrame, agent: str = "newscrawler") -> DataFrame:
         )
     )
 
-    # literal-prefix rules only (subset documented above)
-    valid = F.filter(
-        F.col("rules"),
-        lambda r: r["path_prefix"].isNotNull()
-        & r["path_prefix"].startswith("/")
-        & ~r["path_prefix"].contains("*")
-        & ~r["path_prefix"].contains("$"),
-    )
+    # normalization already happened row-wise (rule_path); NULL = dropped
+    valid = F.filter(F.col("rules"), lambda r: r["path_prefix"].isNotNull())
     # crawl-delay is effectively per-domain (non-standard directive):
     # max across the selected groups, attached to every emitted rule so
     # apply_robots' longest-prefix pick always carries it
@@ -200,8 +222,17 @@ def parse_robots_py(body: str, agent: str = "newscrawler") -> list[tuple]:
                 cur["delay"] = max(cur["delay"], d) if (
                     cur["delay"] is not None and d is not None
                 ) else (d if d is not None else cur["delay"])
-            elif val.startswith("/") and "*" not in val and "$" not in val:
-                cur["rules"].append((val, key == "allow"))
+            elif key == "allow":
+                if val.startswith("/") and "*" not in val and "$" not in val:
+                    cur["rules"].append((val, True))
+            elif val != "":  # disallow: fail-closed wildcard truncation
+                cut = val
+                for ch in "*$":
+                    cut = cut.split(ch, 1)[0]
+                p = "/" if cut == "" else (
+                    cut if cut.startswith("/") else "/" + cut
+                )
+                cur["rules"].append((p, False))
         prev_key = key
 
     any_specific = any(agent in g["agents"] for g in groups)

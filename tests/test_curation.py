@@ -84,6 +84,10 @@ def test_pii_scrub_counts_and_redacts(spark):
         (2, "hosts 10.0.0.1 and 192.168.255.3"),
         (3, "clean text with no identifiers at all"),
         (4, "mixed joe@ex.com 1-555-0000 127.0.0.1"),
+        # round-3 advice: parens / dotted / spaced 10-digit phone forms
+        # must redact, and out-of-range IPv4 octets must NOT match
+        (5, "try (555) 123-4567 or 555.867.5309 or 555 123 4567"),
+        (6, "bogus 999.999.999.999 real 203.0.113.77 edge 0.255.0.255"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in CUR.pii_scrub(docs).collect()}
@@ -94,3 +98,7 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert (out[3].n_email, out[3].n_phone, out[3].n_ip) == (0, 0, 0)
     assert out[3].scrubbed == rows[3][1]
     assert out[4].scrubbed == "mixed <EMAIL> <PHONE> <IP>"
+    assert out[5].n_phone == 3
+    assert out[5].scrubbed == "try <PHONE> or <PHONE> or <PHONE>"
+    assert out[6].n_ip == 2
+    assert out[6].scrubbed == "bogus 999.999.999.999 real <IP> edge <IP>"

@@ -29,6 +29,10 @@ BODIES = {
     "empty-disallow.com": "User-agent: *\nDisallow:\nDisallow: /real\n",
     "wildcards.com": "User-agent: *\nDisallow: /w*ld\nDisallow: /end$\nDisallow: /lit\n",
     "no-slash.com": "User-agent: *\nDisallow: relative\nDisallow: /abs\n",
+    "star-all.com": "User-agent: *\nDisallow: *\n",
+    "wild-allow.com": (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok*\nAllow: rel\n"
+    ),
     "delay-only.com": "User-agent: *\nCrawl-delay: 7\n",
     "blocked.com": "User-agent: *\nDisallow: /\n",
     "caps.com": "USER-AGENT: *\nDISALLOW: /caps\nCrawl-Delay: 3\n",
@@ -73,10 +77,24 @@ def test_selection_and_grammar_specifics(parsed):
     assert parsed["preamble.com"] == {("/kept", False, None)}
     assert parsed["crlf.com"] == {("/crlf", False, 1.5), ("/", True, 1.5)}
     assert parsed["bom.com"] == {("/bom", False, None)}
-    # empty/wildcard/relative values dropped, literals kept
+    # empty disallow = RFC allow-all idiom, dropped; wildcard disallows
+    # FAIL CLOSED to their literal prefix (round-3 advice: RFC 9309
+    # §2.2.3 wildcards are mandatory — over-block, never under-block);
+    # relative disallows get '/' prepended
     assert parsed["empty-disallow.com"] == {("/real", False, None)}
-    assert parsed["wildcards.com"] == {("/lit", False, None)}
-    assert parsed["no-slash.com"] == {("/abs", False, None)}
+    assert parsed["wildcards.com"] == {
+        ("/w", False, None),
+        ("/end", False, None),
+        ("/lit", False, None),
+    }
+    assert parsed["no-slash.com"] == {
+        ("/relative", False, None),
+        ("/abs", False, None),
+    }
+    # a bare-wildcard disallow blocks everything
+    assert parsed["star-all.com"] == {("/", False, None)}
+    # wildcard/relative ALLOWS drop (covering disallows keep blocking)
+    assert parsed["wild-allow.com"] == {("/private", False, None)}
     # delay-only group emits the allow-carrier so the delay survives
     assert parsed["delay-only.com"] == {("/", True, 7.0)}
     # degenerate inputs parse to nothing
