@@ -65,12 +65,37 @@ class HeaderBootstrap:
     by playwright/DrissionPage where those ship.  This container has no
     browser, so the default provider is None (no bootstrapped hosts —
     static platform config still applies); tests inject a fake.
+
+    `max_hosts_per_round` bounds how many NEW (non-fresh) hosts a round
+    may pull onto the driver for bootstrapping — the bootstrap itself is
+    inherently driver-side (a real browser visit per host), so at
+    10^10-URL scale the bound is a necessity, not an optimization: a
+    round's distinct frontier domains can be millions of rows, and one
+    browser visit each would dwarf the round anyway.  The scheduler
+    selects the top-K hosts by frontier mass (see
+    plans.scheduler.bootstrap_hosts_for_round); the long tail keeps the
+    static platform config until it carries enough frontier weight.
     """
 
-    def __init__(self, provider=None, ttl_rounds: int = 10):
+    def __init__(
+        self,
+        provider=None,
+        ttl_rounds: int = 10,
+        max_hosts_per_round: int = 10_000,
+    ):
         self.provider = provider
         self.ttl_rounds = ttl_rounds
+        self.max_hosts_per_round = max_hosts_per_round
         self._cache: dict[str, tuple[int, dict[str, str]]] = {}
+
+    def fresh_hosts(self, round_no: int) -> set[str]:
+        """Hosts whose cache entry is still inside the TTL at round_no —
+        these need no re-collect and no re-bootstrap this round."""
+        return {
+            h
+            for h, (stamp, _) in self._cache.items()
+            if round_no - stamp < self.ttl_rounds
+        }
 
     def refresh(self, hosts, round_no: int) -> None:
         """Round-boundary hook: (re)bootstrap any host whose entry is

@@ -22,6 +22,45 @@ from ..sources.catalog import Catalog
 from .crawl_round import FRONTIER_COLS, RoundConfig, RoundResult, run_round
 
 
+def bootstrap_hosts_for_round(
+    frontier: DataFrame, bootstrap, round_no: int
+) -> list[str]:
+    """The hosts a round pulls onto the driver for header bootstrapping —
+    BOUNDED (round-3 verdict item 2: the naive distinct().collect() of
+    frontier domains is millions of rows at 10^10-URL scale).
+
+    Two bounds compose:
+      * hosts whose bootstrap entry is still TTL-fresh are anti-joined
+        out BEFORE the collect (they need neither re-collect nor
+        re-bootstrap — refresh() would skip them anyway, but only after
+        they crossed the driver);
+      * the remainder is capped to the top `max_hosts_per_round` by
+        frontier mass (ties broken by domain for determinism) — compiles
+        to TakeOrderedAndProject over the per-domain counts, so the
+        driver sees at most K rows however wide the frontier is.  The
+        long tail keeps static platform config until it carries weight.
+    """
+    from pyspark.sql import functions as F
+
+    mass = (
+        frontier.filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").alias("__mass"))
+    )
+    fresh = bootstrap.fresh_hosts(round_no)
+    if fresh:
+        fresh_df = frontier.sparkSession.createDataFrame(
+            [(h,) for h in sorted(fresh)], "domain string"
+        )
+        mass = mass.join(F.broadcast(fresh_df), "domain", "left_anti")
+    top = (
+        mass.orderBy(F.col("__mass").desc(), F.col("domain").asc())
+        .limit(bootstrap.max_hosts_per_round)
+        .collect()
+    )
+    return [r.domain for r in top]
+
+
 def seed_frontier(catalog: Catalog, seeds: DataFrame) -> None:
     """Round-0 bootstrap: seeds become frontier delta 0 (idempotent if
     the manifest hasn't committed round 0 yet)."""
@@ -126,13 +165,13 @@ def crawl(
             # reference bootstraps per visited host,
             # libs/playwright_driver.py:26-58; a budgets-only scope
             # would never bootstrap hosts that enter via out-links).
-            # The distinct-collect is a KB-scale job paid only in
-            # live-bootstrap mode, where one real-browser visit dwarfs it.
-            round_hosts = {
-                r.domain
-                for r in frontier.select("domain").distinct().collect()
-                if r.domain
-            }
+            # The collect is BOUNDED: TTL-fresh hosts are anti-joined
+            # out and the rest capped to top-K by frontier mass
+            # (bootstrap_hosts_for_round) — at most K rows reach the
+            # driver however wide the frontier grows.
+            round_hosts = set(
+                bootstrap_hosts_for_round(frontier, header_bootstrap, round_no)
+            )
             header_bootstrap.refresh(
                 sorted(round_hosts.union(boot_hosts)), round_no
             )

@@ -76,6 +76,43 @@ def test_impersonation_config_reaches_executor_rows(spark):
         assert fetched[url] == f"imp={imp} ua={ua}", (url, platform)
 
 
+def test_bootstrap_host_collect_is_bounded(spark):
+    """Round-3 verdict item 2: the live-bootstrap host collect must be
+    BOUNDED on a many-domain frontier — TTL-fresh hosts never cross the
+    driver again, and the rest caps to top-K by frontier mass."""
+    from newscrawler_spark.operators.projections import HeaderBootstrap
+    from newscrawler_spark.plans.scheduler import bootstrap_hosts_for_round
+
+    # 5000 domains; domain d-i carries (i % 100) + 1 frontier rows so
+    # mass ranks are known: d-99, d-199, ... carry 100 rows each
+    frontier = (
+        spark.range(5000)
+        .select(
+            F.concat(F.lit("d-"), F.col("id").cast("string")).alias("domain"),
+            ((F.col("id") % 100) + 1).alias("n"),
+        )
+        .select("domain", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("x"))
+    )
+    boot = HeaderBootstrap(
+        provider=lambda h: {"X-Boot": h}, ttl_rounds=10, max_hosts_per_round=25
+    )
+    # pre-bootstrapped fresh hosts must be excluded from the collect
+    boot.refresh(["d-99", "d-199"], round_no=4)
+
+    hosts = bootstrap_hosts_for_round(frontier, boot, round_no=5)
+    assert len(hosts) == 25  # the cap, not the 5000 distinct domains
+    assert "d-99" not in hosts and "d-199" not in hosts  # TTL-fresh skipped
+    # every selected host carries max mass (100 rows); the two fresh
+    # ones are replaced by the next heaviest, still mass-100 hosts
+    assert all(h.endswith("99") for h in hosts)
+
+    # expired entries (age >= ttl) become collectable again
+    assert "d-99" not in boot.fresh_hosts(14)
+    boot.max_hosts_per_round = 100
+    hosts_later = bootstrap_hosts_for_round(frontier, boot, round_no=14)
+    assert "d-99" in hosts_later
+
+
 def test_round_plan_attaches_config_for_impersonating_fetcher(spark):
     """run_round itself must feed the seam: with wants_fetch_config the
     fetcher's input carries impersonate+headers; without it (fixture
