@@ -79,6 +79,8 @@ def crawl(
     conf: RoundConfig | None = None,
     stop_after_round: int | None = None,
     header_bootstrap=None,
+    robots_fetcher=None,
+    robots_agent: str = "newscrawler",
 ) -> dict:
     """Run crawl rounds until the frontier drains or max_rounds.
 
@@ -88,10 +90,19 @@ def crawl(
     `header_bootstrap` (operators.projections.HeaderBootstrap) is the S4
     seam: refreshed at every round boundary (TTL-gated), its host→headers
     table is broadcast onto the round's eligible rows.
+    `robots_fetcher`, when given, closes the robots loop LIVE: at each
+    round boundary robots.txt is fetched (through that fetcher — same
+    retry/timeout machinery as page fetches) for frontier domains not
+    yet attempted, parsed via sources.robots.parse_robots, and unioned
+    onto the static `robots` rules for the round's gate.  Static rules
+    take precedence only in the trivial sense that both apply — the
+    gate's longest-prefix match sees the union.
     Returns the final metrics dict (also persisted per round).
     """
     conf = conf or RoundConfig()
     totals: dict = {}
+    robots_done: set[str] = set()
+    live_robots_rows: list[tuple] = []
 
     boot_hosts = (
         [r.domain for r in budgets.select("domain").distinct().collect()]
@@ -177,8 +188,23 @@ def crawl(
             )
             boot_cfg = header_bootstrap.config_df(spark)
 
+        robots_round = robots
+        if robots_fetcher is not None:
+            from ..sources.robots import fetch_robots
+
+            doms, new_rules = _t(round_no, "fetch robots", lambda: fetch_robots(
+                frontier, robots_fetcher, agent=robots_agent,
+                exclude=robots_done,
+            ))
+            robots_done.update(doms)
+            live_robots_rows.extend(new_rules)
+            if live_robots_rows:
+                robots_round = robots.unionByName(
+                    spark.createDataFrame(live_robots_rows, _schema.ROBOTS)
+                )
+
         result: RoundResult = run_round(
-            frontier, url_seen, sidecar, budgets, robots, fetcher, round_no, conf,
+            frontier, url_seen, sidecar, budgets, robots_round, fetcher, round_no, conf,
             fetch_size_hint=(prev or {}).get("frontier_next"),
             boot_config=boot_cfg,
         )

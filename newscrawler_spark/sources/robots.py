@@ -191,6 +191,78 @@ def parse_robots(bodies: DataFrame, agent: str = "newscrawler") -> DataFrame:
     return base.unionByName(carrier)
 
 
+def robots_request_frame(frontier: DataFrame) -> DataFrame:
+    """One fetchable robots.txt URL per frontier domain.
+
+    Scheme and authority come from the domain's minimal frontier URL —
+    a hard-coded ``https://<domain>/robots.txt`` would break non-default
+    ports and http-only hosts (the loopback tests, but also real
+    intranet/mirror crawls).  min() keeps the pick deterministic.
+    """
+    origin = F.concat(
+        F.parse_url("url", F.lit("PROTOCOL")),
+        F.lit("://"),
+        F.parse_url("url", F.lit("AUTHORITY")),
+    )
+    return (
+        frontier.filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.min(origin).alias("origin"))
+        .select(
+            "domain", F.concat("origin", F.lit("/robots.txt")).alias("url")
+        )
+    )
+
+
+def fetch_robots(
+    frontier: DataFrame,
+    fetcher,
+    agent: str = "newscrawler",
+    exclude: set[str] | None = None,
+) -> tuple[list[str], list[tuple]]:
+    """Live robots loop: fetch robots.txt for the frontier's (new)
+    domains THROUGH the engine's own fetch stage, parse declaratively,
+    return driver-side rows for the broadcast rules table.
+
+    → (attempted_domains, rules_rows).  The caller caches
+    attempted_domains so each domain fetches once per crawl (robots TTL
+    ≈ crawl lifetime; the reference re-reads per process start,
+    video_crawler/pixabay/common/base.py:38-55 analog).  A non-200
+    robots.txt yields no rules — the RFC 9309 §2.3.1 "unreachable =
+    allow" default for 4xx; servers answering 5xx get the same
+    treatment here because apply_robots has no tri-state, a documented
+    simplification.
+
+    Scale note: the FETCH is distributed (one row per new domain through
+    mapInPandas); only the parsed RULES cross the driver, because
+    apply_robots broadcasts the rules table — KB-scale by the J3
+    contract.  At mega-domain scale the rules accumulate to a catalog
+    table instead and apply_robots flips to a shuffle join on domain.
+    """
+    reqs = robots_request_frame(frontier)
+    if exclude:
+        ex = frontier.sparkSession.createDataFrame(
+            [(d,) for d in sorted(exclude)], "domain string"
+        )
+        reqs = reqs.join(F.broadcast(ex), "domain", "left_anti")
+    # materialize once: the fetch is side-effectful (real HTTP) — the
+    # two consumers below must not re-trigger it
+    fetched = fetcher.fetch(reqs).select(
+        "domain", "status", "html"
+    ).localCheckpoint(eager=False)
+    domains = [r.domain for r in fetched.select("domain").collect()]
+    if not domains:
+        return [], []
+    bodies = fetched.filter(F.col("status") == 200).select(
+        "domain", F.col("html").alias("body")
+    )
+    rules = [
+        (r.domain, r.path_prefix, r.allow, r.crawl_delay_s)
+        for r in parse_robots(bodies, agent=agent).collect()
+    ]
+    return domains, rules
+
+
 def parse_robots_py(body: str, agent: str = "newscrawler") -> list[tuple]:
     """Pure-python twin of parse_robots for tests — same grammar subset,
     same selection/attachment semantics; returns sorted

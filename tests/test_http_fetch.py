@@ -186,11 +186,15 @@ def _naver_page(title: str, links: list[str]) -> str:
 
 class _SiteHandler(BaseHTTPRequestHandler):
     pages: dict[str, bytes] = {}
+    hits: set[str] = set()
+    lock = threading.Lock()
 
     def log_message(self, *a):
         pass
 
     def do_GET(self):
+        with self.lock:
+            _SiteHandler.hits.add(self.path)
         body = self.pages.get(self.path)
         self.send_response(200 if body is not None else 404)
         body = body if body is not None else b"gone"
@@ -198,6 +202,114 @@ class _SiteHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+
+ROBOTS_TXT = """\
+User-agent: evilbot
+Disallow: /
+
+User-agent: newscrawler
+Disallow: /private*
+Disallow: /api
+Crawl-delay: 30
+
+User-agent: *
+Disallow: /open
+"""
+
+
+def test_live_robots_loop_end_to_end(spark, tmp_path, monkeypatch):
+    """Round-3 verdict item 5 — the robots loop CLOSED LIVE: the crawl
+    fetches /robots.txt off the loopback server through HttpFetcher,
+    parses groups + wildcard + crawl-delay declaratively, and the gate
+    enforces them end-to-end:
+
+      * /private/x is wildcard-disallowed (`/private*`, the fail-closed
+        truncation) and /api/v1 literally — both quarantined
+        `robots_denied` and NEVER requested from the server;
+      * the `*` group's `Disallow: /open` is IGNORED because a specific
+        newscrawler group exists (RFC 9309 §2.2.1) — /open pages fetch;
+      * `Crawl-delay: 30` tightens the per-round capacity to
+        floor(60/30) = 2, so the three /open pages spread over two
+        rounds (one deferred) despite a capacity-10 budget.
+    """
+    from newscrawler_spark import canonical, schema
+    from newscrawler_spark.plans.crawl_round import RoundConfig
+    from newscrawler_spark.plans.scheduler import crawl, seed_frontier
+    from newscrawler_spark.sources.catalog import Catalog
+    from newscrawler_spark.xhash import md5_64_py
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        site = {
+            "/seed": _naver_page(
+                "seed", ["/private/x", "/api/v1", "/open1", "/open2", "/open3"]
+            ),
+            "/private/x": _naver_page("priv", []),
+            "/api/v1": _naver_page("api", []),
+            "/open1": _naver_page("o1", []),
+            "/open2": _naver_page("o2", []),
+            "/open3": _naver_page("o3", []),
+        }
+        _SiteHandler.pages = {p: h.encode() for p, h in site.items()}
+        _SiteHandler.pages["/robots.txt"] = ROBOTS_TXT.encode()
+        _SiteHandler.hits = set()
+
+        monkeypatch.setattr(
+            canonical,
+            "PLATFORM_PATTERNS",
+            canonical.PLATFORM_PATTERNS
+            + [("naver", r"^https?://127\.0\.0\.1(:\d+)?/")],
+        )
+
+        seed_url = f"{base}/seed"
+        seeds = spark.createDataFrame(
+            [(seed_url, "127.0.0.1", 0, 0, md5_64_py(seed_url), 0, 0, seed_url)],
+            schema.FRONTIER,
+        )
+        budgets = spark.createDataFrame(
+            [("127.0.0.1", 10, 60, None)], schema.BUDGETS
+        )
+        static_robots = spark.createDataFrame([], schema.ROBOTS)
+
+        cat = Catalog(tmp_path / "live_robots")
+        seed_frontier(cat, seeds)
+        conf = RoundConfig(n_buckets=4, m_bits=1 << 12, n_partitions=2, salt_factor=2)
+        fetcher = HttpFetcher(
+            max_attempts=2, wait_s=0.02, timeout_s=2.0, n_partitions=2, salt_factor=2
+        )
+        totals = crawl(
+            spark, cat, fetcher, budgets, static_robots, max_rounds=8,
+            conf=conf, robots_fetcher=fetcher, robots_agent="newscrawler",
+        )
+
+        # robots denials, end-to-end
+        quarantine = {
+            (r.url.rsplit("/", 1)[-1] if "/private/" not in r.url else "private/x",
+             r.error)
+            for r in cat.read_table(spark, "quarantine").collect()
+        }
+        assert ("private/x", "robots_denied") in quarantine
+        assert ("v1", "robots_denied") in quarantine
+        # ...and the server NEVER saw the disallowed paths
+        assert "/private/x" not in _SiteHandler.hits
+        assert "/api/v1" not in _SiteHandler.hits
+        assert "/robots.txt" in _SiteHandler.hits
+
+        # the * group's /open block was ignored (specific group wins)
+        docs = {r.doc_id for r in cat.read_table(spark, "docs").collect()}
+        assert {"naver:open1", "naver:open2", "naver:open3"} <= docs
+
+        # crawl-delay tightened the round capacity to 2: the three /open
+        # pages span two rounds (2 + 1), not one
+        sched = [c["scheduled"] for _, c in sorted(totals.items())]
+        assert sched[0] == 1          # seed round
+        assert sched[1] == 2          # delay-capped, 1 open page deferred
+        assert sched[2] == 1          # the deferred one
+    finally:
+        srv.shutdown()
 
 
 def test_live_crawl_discovers_frontier(spark, tmp_path, monkeypatch):
