@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "minhash_lsh",
     "incremental_neardup",
+    "incremental_neardup_capped",
     "simhash",
     "text_stats",
     "decontaminate",
@@ -113,8 +114,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
+def run_crawl(cores: int, n_urls: int, rounds: int = 5, dedup: bool = False) -> dict:
     """Fresh JVM-conf session at local[cores]; returns throughput stats.
+
+    dedup=True additionally runs the per-round incremental near-dup
+    (conf.dedup_docs — each round's new docs probed against the
+    accumulated LSH index) so the 100 TB per-ingest dedup claim carries
+    a measured cost: per_round wall_sec then includes the dedup writes
+    and neardup_matches appears per round.
 
     'URLs scheduled+fetched' = fetch_order rows (every scheduled URL
     reaches fetch+extract in its round).  Two throughputs are reported:
@@ -148,7 +155,9 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         pages = spark.read.parquet(pages_path)
         budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
         robots = synth.synth_robots(spark)
-        conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
+        conf = RoundConfig(
+            n_partitions=64, n_buckets=64, m_bits=1 << 22, dedup_docs=dedup
+        )
         pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
         steal0, total0 = _cpu_stat()
         t0 = time.time()
@@ -168,7 +177,7 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         steady = {r: c for r, c in totals.items() if r >= 2}
         steady_sched = sum(c["scheduled"] for c in steady.values())
         steady_wall = sum(c["wall_sec"] for c in steady.values())
-        return {
+        out = {
             "cores": cores,
             "urls_scheduled": scheduled,
             "docs_extracted": docs,
@@ -180,6 +189,78 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
             else None,
             "steal_pct": steal_pct,
             "per_round": {r: c for r, c in totals.items()},
+        }
+        if dedup:
+            out["dedup"] = True
+            out["neardup_matches_total"] = sum(
+                c.get("neardup_matches", 0) for c in totals.values()
+            )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def run_stream_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
+    """§2.9 streaming-mode crawl probe: the SAME synthetic web driven
+    through crawl_from_seed_stream (foreachBatch + Trigger.AvailableNow)
+    instead of the direct round loop — one micro-batch delivers the
+    seeds, the batch round semantics run inside it.  Comparable 1:1 with
+    run_crawl at the same n_urls; the delta is the streaming machinery's
+    overhead (checkpoint dir, micro-batch planning)."""
+    from newscrawler_spark import schema, synth
+    from newscrawler_spark.plans.crawl_round import RoundConfig
+    from newscrawler_spark.session import get_spark
+    from newscrawler_spark.sources.catalog import Catalog
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+    from newscrawler_spark.streaming.stream import crawl_from_seed_stream
+
+    spark = get_spark(f"bench-stream-{cores}", cores=cores, shuffle_partitions=64)
+    root = tempfile.mkdtemp(prefix=f"bench_stream_{cores}_")
+    try:
+        cat = Catalog(os.path.join(root, "cat"))
+        seeds_path = os.path.join(root, "_seeds")
+        synth.synth_frontier(spark, n_urls).write.mode("overwrite").parquet(
+            seeds_path
+        )
+        pages_path = os.path.join(root, "_pages")
+        synth.synth_pages(spark, n_urls * 4).write.mode("overwrite").parquet(
+            pages_path
+        )
+        pages = spark.read.parquet(pages_path)
+        budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
+        robots = synth.synth_robots(spark)
+        conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
+        seeds_stream = spark.readStream.schema(schema.FRONTIER).parquet(seeds_path)
+        pin_cpu_budget(cores)
+        t0 = time.time()
+        with FixtureFetcher(pages) as fetcher:
+            q = crawl_from_seed_stream(
+                spark, seeds_stream, cat, fetcher, budgets, robots,
+                checkpoint=os.path.join(root, "_ckpt"),
+                max_rounds_per_batch=rounds, conf=conf,
+            )
+            q.awaitTermination()
+        wall = time.time() - t0
+        totals = {
+            int(r): c for r, c in cat.read_manifest()["rounds"].items()
+        }
+        scheduled = sum(c["scheduled"] for c in totals.values())
+        steady = {r: c for r, c in totals.items() if r >= 2}
+        steady_wall = sum(c["wall_sec"] for c in steady.values())
+        return {
+            "cores": cores,
+            "mode": "streaming_available_now",
+            "urls_scheduled": scheduled,
+            "rounds": len(totals),
+            "wall_sec": round(wall, 2),
+            "urls_per_sec": round(scheduled / wall, 1),
+            "steady_urls_per_sec": round(
+                sum(c["scheduled"] for c in steady.values()) / steady_wall, 1
+            )
+            if steady_wall
+            else None,
+            "per_round": totals,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -257,7 +338,14 @@ def _in_subprocess(fn: str, cores: int, n: int) -> dict:
 
 
 def _worker(fn: str, cores: int, n: int) -> None:
-    out = run_crawl(cores, n) if fn == "crawl" else run_extract_stage(cores, n)
+    if fn == "crawl":
+        out = run_crawl(cores, n)
+    elif fn == "crawl_dedup":
+        out = run_crawl(cores, n, dedup=True)
+    elif fn == "stream":
+        out = run_stream_crawl(cores, n)
+    else:
+        out = run_extract_stage(cores, n)
     print(json.dumps(out))
 
 
@@ -307,6 +395,27 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl_big,
     }
+    if not os.environ.get("BENCH_SKIP_EXTRAS"):
+        # best-effort extras (each in its own JVM, never lose the JSON
+        # line): the per-ingest incremental-dedup cost and the §2.9
+        # streaming-mode crawl, both at the same input as the headline
+        # crawl so the deltas are attributable
+        try:
+            dd = _in_subprocess("crawl_dedup", cpus, n_urls)
+            base_steady = crawl_big.get("steady_urls_per_sec") or crawl_big["urls_per_sec"]
+            dd_steady = dd.get("steady_urls_per_sec") or dd["urls_per_sec"]
+            dd["steady_vs_plain_crawl"] = round(dd_steady / base_steady, 3)
+            result["crawl_dedup"] = dd
+        except Exception as exc:  # noqa: BLE001
+            result["crawl_dedup_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            st = _in_subprocess("stream", cpus, n_urls)
+            base_steady = crawl_big.get("steady_urls_per_sec") or crawl_big["urls_per_sec"]
+            st_steady = st.get("steady_urls_per_sec") or st["urls_per_sec"]
+            st["steady_vs_plain_crawl"] = round(st_steady / base_steady, 3)
+            result["crawl_streaming"] = st
+        except Exception as exc:  # noqa: BLE001
+            result["crawl_streaming_error"] = f"{type(exc).__name__}: {exc}"
     if not os.environ.get("BENCH_SKIP_SCALING"):
         # scaling evidence is best-effort extra: never lose the JSON line
         # to a failure in the second half of the run

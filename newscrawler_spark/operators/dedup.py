@@ -327,6 +327,7 @@ def incremental_neardup(
     n_hashes: int = 16,
     band_size: int = 2,
     min_common: int = 3,
+    bucket_cap: int | None = None,
     persist_fn=None,
 ) -> dict:
     """Cross-BATCH near-dup: check a new batch of docs against the
@@ -359,6 +360,23 @@ def incremental_neardup(
     Within-batch pairs are NOT included — run minhash_lsh_dedup on the
     batch for those (a batch is tiny next to the corpus).
 
+    ``bucket_cap`` (optional) drops historical (band, key) buckets with
+    more than that many member docs from the probe — the standard
+    production-LSH hot-bucket cutoff.  A band key shared by m docs
+    costs |new ∩ key| × m join rows; on boilerplate-heavy corpora
+    (news templates, license headers) the minhash minima of thousands
+    of docs land on shared boilerplate shingles and a single bucket
+    degenerates the probe into an all-pairs product (measured: a
+    template-text fixture at 55k × 25k docs ground one core for
+    minutes on 1.4B candidate rows).  An over-full bucket carries no
+    dedup signal — its key IS the boilerplate — so dropping it is the
+    same deterministic, oracle-mirrorable rule as jaccard_pairs'
+    JACCARD_DF_CUTOFF.  Pairs whose only shared bands are hot are
+    missed (documented approximation).  The hot set is recomputed from
+    the index per batch here; at 100 TB the catalog would maintain a
+    (band, key, count) summary delta alongside the index instead of
+    re-aggregating it.
+
     ``persist_fn`` (optional) materializes the signature/band frames so
     a caller writing all three outputs doesn't recompute the signature
     aggregation per write (the scheduler passes localCheckpoint).
@@ -377,9 +395,24 @@ def incremental_neardup(
             F.lit(0).alias("n_common"),
         ).filter(F.lit(False))
         return out
+    probe_index = hist_index
+    if bucket_cap is not None:
+        # |hot| <= index_rows / bucket_cap and real corpora have few
+        # boilerplate keys -> the hot set broadcasts; if it ever
+        # didn't, the anti-join below degrades gracefully to a shuffle
+        # co-partitioned on (band, key) with the probe join itself
+        hot = (
+            hist_index.groupBy("band", "key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .select("band", "key")
+        )
+        probe_index = hist_index.join(
+            F.broadcast(hot), ["band", "key"], "left_anti"
+        )
     cands = (
         bands_new.join(
-            hist_index.withColumnRenamed("doc_id", "dup_of"), ["band", "key"]
+            probe_index.withColumnRenamed("doc_id", "dup_of"), ["band", "key"]
         )
         .select("doc_id", "dup_of")
         .distinct()

@@ -61,6 +61,11 @@ class RoundConfig:
     # write neardup/dedup_index/dedup_sigs deltas
     dedup_docs: bool = False
     dedup_min_common: int = 3
+    # hot-bucket cutoff for the per-round probe (see
+    # dedup.incremental_neardup) — boilerplate band keys shared by more
+    # docs than this are skipped, keeping the probe O(batch) even on
+    # template-heavy corpora
+    dedup_bucket_cap: int = 128
 
 
 @dataclass

@@ -279,16 +279,25 @@ def crawl(
         if conf.dedup_docs and n_docs > 0:
             from ..operators.dedup import doc_text, incremental_neardup
 
+            # repartition BEFORE the signature aggregation: the docs
+            # delta is a handful of small parquet files, so the scan
+            # comes back as 1-2 input partitions — and minhash's md5
+            # work happens map-side in the partial agg, i.e. on those
+            # few cores (measured: one task grinding 3+ min at 32
+            # cores).  One narrow shuffle of the batch text buys full
+            # parallelism for the 16x-md5-per-shingle hot loop.
             batch = (
                 spark.read.schema(_schema.DOCS)
                 .parquet(catalog.delta_path("docs", round_no))
                 .select("doc_id", doc_text().alias("text"))
+                .repartition(conf.n_partitions)
             )
             dd = incremental_neardup(
                 batch,
                 catalog.read_table(spark, "dedup_index", upto_round=round_no - 1),
                 catalog.read_table(spark, "dedup_sigs", upto_round=round_no - 1),
                 min_common=conf.dedup_min_common,
+                bucket_cap=conf.dedup_bucket_cap,
                 persist_fn=lambda df: df.localCheckpoint(eager=False),
             )
             n_neardup = _t(round_no, "write neardup", lambda: catalog.write_delta(

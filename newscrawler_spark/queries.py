@@ -679,6 +679,70 @@ WHERE ({eq}) >= 3
 SQL_INCREMENTAL_NEARDUP = _sql_incremental_neardup()
 
 
+# hot-bucket cutoff for the capped variant below: at sf0.01 the
+# historical band index tops out at 2 docs/bucket, so cap=1 is the
+# smallest value that actually exercises the cutoff (52 buckets
+# dropped) — the same pick-a-cap-that-bites discipline as the
+# jaccard df_cutoff=2 parity test
+NEARDUP_BUCKET_CAP = 1
+
+
+def q_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_neardup with the production hot-bucket cutoff live
+    (bucket_cap — boilerplate band keys shared by more docs than the
+    cap are skipped, keeping the probe O(batch) on template-heavy
+    corpora; the crawl loop runs with RoundConfig.dedup_bucket_cap).
+    Oracle mirrors the identical rule: (band, key) groups with more
+    than NEARDUP_BUCKET_CAP historical members are anti-joined out of
+    the candidate join."""
+    from .operators import dedup as _dd
+
+    docs = _doc(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id").cast("long") % 2 == 0)
+    batch = docs.filter(F.col("doc_id").cast("long") % 2 == 1)
+    hsig = _dd.minhash_signatures(hist)
+    hidx = _dd.signature_bands(hsig)
+    return _dd.incremental_neardup(
+        batch, hidx, hsig, min_common=3, bucket_cap=NEARDUP_BUCKET_CAP
+    )["matches"]
+
+
+def _sql_incremental_neardup_capped() -> str:
+    min_exprs = []
+    for j in range(16):
+        seeded = "s || '#" + str(j) + "'"
+        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
+    mins = ",\n         ".join(min_exprs)
+    keys = ", ".join(
+        md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
+        for b in range(8)
+    )
+    eq = " + ".join(f"(a.h{j} = b.h{j})::INT" for j in range(16))
+    return f"""
+WITH {SHINGLE3_CTE},
+sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+banded AS (SELECT doc_id,
+                  unnest(range(8)) AS band,
+                  unnest([{keys}]) AS key
+           FROM sigs),
+hot AS (SELECT band, key FROM banded WHERE doc_id::BIGINT % 2 = 0
+        GROUP BY band, key HAVING count(*) > {NEARDUP_BUCKET_CAP}),
+cands AS (SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+          FROM banded n JOIN banded o USING (band, key)
+          WHERE n.doc_id::BIGINT % 2 = 1 AND o.doc_id::BIGINT % 2 = 0
+            AND NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.band = n.band AND h.key = n.key))
+SELECT c.doc_id, c.dup_of, ({eq})::INT AS n_common
+FROM cands c
+JOIN sigs a ON a.doc_id = c.doc_id
+JOIN sigs b ON b.doc_id = c.dup_of
+WHERE ({eq}) >= 3
+"""
+
+
+SQL_INCREMENTAL_NEARDUP_CAPPED = _sql_incremental_neardup_capped()
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pairs
     (iterative min-label propagation — SURVEY §4's driver-level
@@ -1706,6 +1770,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
     "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_capped": q_incremental_neardup_capped,
     "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1752,6 +1817,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "minhash_lsh": SQL_MINHASH_LSH,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+    "incremental_neardup_capped": SQL_INCREMENTAL_NEARDUP_CAPPED,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

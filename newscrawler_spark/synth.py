@@ -105,8 +105,21 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 # Synthetic pages: deterministic HTML per platform dialect
 # ---------------------------------------------------------------------------
 
+def _para_vars(art: F.Column, i) -> tuple:
+    """The four per-paragraph format args of _BODY: paragraph number,
+    article id, and two (article, paragraph)-mixed tokens.  The mixed
+    tokens give every article per-paragraph word trigrams of its own —
+    without them the corpus is ONE shared template and every document's
+    minhash minima land on corpus-wide boilerplate shingles, which
+    degenerates any LSH-banded dedup over the fixture into an all-pairs
+    join (the hot-bucket pathology incremental_neardup's bucket_cap
+    exists for; the fixture should exercise the realistic mixed regime,
+    not only the degenerate one)."""
+    return (i, art, art * 131 + i * 7, art * 269 + i * 13)
+
+
 def _paras(art: F.Column, seed: int, fmt: str) -> F.Column:
-    """6-17 deterministic paragraphs; fmt has two %s-style slots (i, art).
+    """6-17 deterministic paragraphs; fmt has the four _BODY slots.
 
     Sized so a synthetic page costs roughly what a real news page costs
     to parse (a 2-paragraph page would make the bench's extract stage
@@ -116,15 +129,15 @@ def _paras(art: F.Column, seed: int, fmt: str) -> F.Column:
     return F.aggregate(
         F.sequence(F.lit(1), n_paras),
         F.lit(""),
-        lambda acc, i: F.concat(acc, F.format_string(fmt, i, art)),
+        lambda acc, i: F.concat(acc, F.format_string(fmt, *_para_vars(art, i))),
     )
 
 
 _BODY = (
     "Paragraph %s of article %08d with deterministic body text, a second "
-    "sentence that pads the paragraph to something closer to real article "
-    "prose, and a third clause mentioning dates, places and names so the "
-    "parser walks a realistic amount of character data."
+    "sentence that pads entry %08d to something closer to real article "
+    "prose, and a third clause mentioning dates near %08d, places and names "
+    "so the parser walks a realistic amount of character data."
 )
 _P = "<p>" + _BODY + "</p>"
 
@@ -147,7 +160,8 @@ def _html_exprs(art: F.Column, seed: int) -> dict[str, F.Column]:
         ),
         F.lit("<article>"),
         _paras(art, seed, _P),
-        F.format_string(_P, F.lit(1), art),  # duplicate para (dedup exercise)
+        # duplicate of paragraph 1 (dedup exercise) — same _para_vars
+        F.format_string(_P, *_para_vars(art, F.lit(1))),
         F.format_string('<div><img src="%s"/></div>', img),
         F.when(_mix(art, seed + 11, 5) == 0,
                F.format_string('<video src="%s"></video>', vid)).otherwise(F.lit("")),

@@ -210,13 +210,45 @@ def test_per_round_incremental_dedup(spark, world, tmp_path_factory):
         F.when(F.col(f"na{j}") == F.col(f"ob{j}"), 1).otherwise(0)
         for j in range(16)
     )
-    want = {
+    want_uncapped = {
         (r.doc_id, r.dup_of, r.n_common)
         for r in cands.join(sn, "doc_id").join(so, "dup_of")
         .select("doc_id", "dup_of", agree.cast("int").alias("n_common"))
         .filter(F.col("n_common") >= 3)
         .collect()
     }
+
+    # mirror the production hot-bucket cutoff (conf.dedup_bucket_cap):
+    # a round-n batch probes the index of rounds < n MINUS buckets that
+    # hold more than cap docs at that point, so the recompute drops a
+    # pair iff every bucket it shares was hot when the newer doc's
+    # round ran.  The hot set is time-varying → fold it round by round
+    # driver-side (the fixture corpus is collectable).
+    cap = conf.dedup_bucket_cap
+    band_rows = bands.select("doc_id", "round", "band", "key").collect()
+    buckets_by_doc: dict = {}
+    round_of: dict = {}
+    for r in band_rows:
+        buckets_by_doc.setdefault(r.doc_id, set()).add((r.band, r.key))
+        round_of[r.doc_id] = r["round"]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    hot_at: dict = {}
+    for rnd in sorted(set(round_of.values())):
+        # counts currently covers rounds < rnd
+        hot_at[rnd] = {b for b, n in counts.items() if n > cap}
+        for doc, dr in round_of.items():
+            if dr == rnd:
+                counts.update(buckets_by_doc[doc])
+    want = {
+        (a, b, nc)
+        for (a, b, nc) in want_uncapped
+        if (buckets_by_doc[a] & buckets_by_doc[b]) - hot_at[round_of[a]]
+    }
+    # the fixture's shared paragraph templates must make the cutoff
+    # bite (otherwise this test degenerates to the uncapped one)
+    assert want != want_uncapped
     assert got == want
     # and the index accounted for every doc (8 bands each)
     idx = cat.read_table(spark, "dedup_index")

@@ -158,6 +158,66 @@ def test_incremental_neardup_lifecycle(spark, docs):
     assert got == want
 
 
+def test_incremental_neardup_bucket_cap_skips_boilerplate_buckets(spark):
+    """On a template-heavy corpus (every doc = shared boilerplate + a
+    few doc-specific words) the minhash minima land on boilerplate
+    shingles, every historical doc piles into the same band buckets,
+    and the uncapped probe degenerates into an all-pairs join.  The
+    hot-bucket cutoff must (a) drop those over-full buckets — capped
+    matches strictly fewer than uncapped — and (b) leave the probe's
+    non-hot buckets untouched: capped output == uncapped output minus
+    pairs whose every shared bucket is hot."""
+    boiler = (
+        "shared template sentence one that every article repeats verbatim "
+        "shared template sentence two that every article also repeats "
+        "shared template sentence three padding the boilerplate run"
+    )
+    rows = [(i, f"{boiler} unique token{i} tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    hsig = DD.minhash_signatures(hist)
+    hidx = DD.signature_bands(hsig)
+
+    uncapped = DD.incremental_neardup(batch, hidx, hsig, min_common=3)[
+        "matches"
+    ]
+    capped = DD.incremental_neardup(
+        batch, hidx, hsig, min_common=3, bucket_cap=3
+    )["matches"]
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # the boilerplate corpus must actually exhibit the pathology the
+    # cap targets, and the cap must bite
+    assert n_uncapped > 0
+    assert n_capped < n_uncapped
+
+    # equivalence on the surviving buckets: recompute which (band, key)
+    # buckets are hot and check capped == uncapped restricted to pairs
+    # sharing at least one non-hot bucket
+    hot = {
+        (r.band, r.key)
+        for r in hidx.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 3)
+        .collect()
+    }
+    bsig = DD.minhash_signatures(batch)
+    bidx = DD.signature_bands(bsig)
+    new_buckets = {}
+    for r in bidx.collect():
+        new_buckets.setdefault(r.doc_id, set()).add((r.band, r.key))
+    old_buckets = {}
+    for r in hidx.collect():
+        old_buckets.setdefault(r.doc_id, set()).add((r.band, r.key))
+    want = {
+        (a.doc_id, a.dup_of)
+        for a in uncapped.collect()
+        if (new_buckets[a.doc_id] & old_buckets[a.dup_of]) - hot
+    }
+    got = {(r.doc_id, r.dup_of) for r in capped.collect()}
+    assert got == want
+
+
 def test_simhash_pairs_low_hamming_for_neardups(docs):
     t = {r.doc_id: r.simhash for r in DD.simhash_table(docs).collect()}
     assert t[0] == t[1]  # identical text -> identical simhash
