@@ -83,18 +83,27 @@ def _cpu_stat() -> tuple[int, int]:
 
 
 def pin_cpu_budget(cores: int) -> None:
-    """Bound this process AND its tree (JVM, pandas-UDF python workers)
-    to `cores` CPUs — local[N] alone only limits JVM task threads;
-    python UDF workers would silently use extra cores, making an
-    N-vs-4N core comparison unfair to the 4N run.  Workers spawned
-    later inherit the pinned JVM's mask."""
+    """Bound this process tree (JVM, pandas-UDF python workers) to
+    `cores` CPUs — local[N] alone only limits JVM task threads; GC /
+    JIT / shuffle threads and python UDF workers would silently use
+    extra cores, making an N-vs-4N core comparison unfair to the 4N
+    run.  sched_setaffinity is per-THREAD on Linux (the pid argument is
+    a TID), so walk /proc/<pid>/task/* for every process in the tree —
+    pinning only each PID would leave all other JVM threads (notably
+    the ~23 ParallelGC threads a local[8] JVM gets by host-cpu default)
+    running full-width.  Threads/processes spawned later inherit their
+    creator's mask, so one sweep at timed-section start stays binding."""
     mask = set(range(min(cores, os.cpu_count())))
-    os.sched_setaffinity(0, mask)
-    for pid in _descendants(os.getpid()):
+    for pid in [os.getpid(), *_descendants(os.getpid())]:
         try:
-            os.sched_setaffinity(pid, mask)
+            tids = os.listdir(f"/proc/{pid}/task")
         except OSError:
-            pass
+            tids = [str(pid)]
+        for tid in tids:
+            try:
+                os.sched_setaffinity(int(tid), mask)
+            except OSError:
+                pass
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:

@@ -203,11 +203,11 @@ def crawl(
                     spark.createDataFrame(live_robots_rows, _schema.ROBOTS)
                 )
 
-        result: RoundResult = run_round(
+        result: RoundResult = _t(round_no, "plan round", lambda: run_round(
             frontier, url_seen, sidecar, budgets, robots_round, fetcher, round_no, conf,
             fetch_size_hint=(prev or {}).get("frontier_next"),
             boot_config=boot_cfg,
-        )
+        ))
 
         # actions: write all deltas, then commit atomically (sequential —
         # measured: concurrent write jobs contend on the shared local-mode
@@ -340,7 +340,7 @@ def crawl(
                 round_no,
             ))
         catalog.commit_round(round_no, counters)
-        result.unpersist()
+        _t(round_no, "unpersist", result.unpersist)
         totals[round_no] = counters
 
         if stop_after_round is not None and round_no >= stop_after_round:

@@ -41,6 +41,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Throughput GC for the batch-shaped local JVM: an event-log
+        # audit of a 32-thread crawl measured JVM GC at 17% of executor
+        # run time under default G1 (pause-target-oriented) — at 4x the
+        # allocation rate of the 8-thread run this is a direct scaling
+        # tax.  Parallel GC trades pause latency (irrelevant here) for
+        # throughput; on a cluster the same flag rides
+        # spark.executor.extraJavaOptions.  ParallelGCThreads is sized
+        # to the core budget: the JVM defaults it from HOST cpus (23 on
+        # this 32-cpu box), which would hand a local[8] run 23 GC
+        # threads — a real 8-core executor host gets 8.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_GC",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores}",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # deterministic outputs: never let timezone/locale leak into results
         .config("spark.sql.datetime.java8API.enabled", "true")

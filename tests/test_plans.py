@@ -101,6 +101,39 @@ def test_budget_gate_two_stage_topk_plan_and_equivalence(spark):
     assert deferred.count() == cand.count() - len(ref_elig)
 
 
+def test_no_persisted_round_frame_carries_html(spark):
+    """The raw HTML corpus must never be materialized past extraction:
+    run_round drops `html` before the fused fetch+extract frame is
+    checkpointed (crawl_round.py), so the round's persisted frames —
+    the only buffers that hold executor memory across actions — are
+    html-free.  At 100 TB the html column IS the dataset; persisting it
+    a second time doubles the round's memory-bandwidth cost (the
+    measured 32-thread scaling ceiling)."""
+    from newscrawler_spark.plans.crawl_round import RoundConfig, run_round
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+
+    frontier = synth.synth_frontier(spark, 200)
+    pages = synth.synth_pages(spark, 800)
+    budgets = synth.synth_budgets(spark, capacity_default=100)
+    robots = synth.synth_robots(spark)
+    conf = RoundConfig(n_buckets=4, m_bits=1 << 12, n_partitions=4)
+    with FixtureFetcher(pages) as fetcher:
+        result = run_round(frontier, None, None, budgets, robots, fetcher, 0, conf)
+        assert result.round_log.count() > 0  # force the pipeline
+        assert result.persisted, "round should materialize pivotal frames"
+        for df in result.persisted:
+            assert "html" not in df.columns, (
+                "persisted round frame carries the raw html corpus: "
+                f"{df.columns}"
+            )
+        # and none of the round's OUTPUTS re-derives html upstream of a
+        # non-extract consumer: their analyzed plans read the persisted
+        # html-free leaves, not a second fetch
+        for out in (result.docs, result.round_log, result.frontier_next):
+            assert "html" not in out.columns
+        result.unpersist()
+
+
 def test_salt_domains_spreads_mega_host(spark):
     # one domain, 2000 rows: without salting all rows land in one
     # partition of a domain-hash repartition; with salt they spread
