@@ -448,7 +448,22 @@ def main() -> None:
                     3,
                 ),
             }
-            crawl_small = _in_subprocess("crawl", small_cores, n_urls)
+            # small-core side gets the same median-of-N treatment: r3's
+            # driver window recorded a single anomalous 8-core reading at
+            # 2x its historical band, poisoning the efficiency ratio
+            small_runs = [
+                _in_subprocess("crawl", small_cores, n_urls) for _ in range(reps)
+            ]
+            small_ranked = sorted(
+                small_runs,
+                key=lambda r: r["steady_urls_per_sec"] or r["urls_per_sec"],
+            )
+            crawl_small = small_ranked[(reps - 1) // 2]
+            if reps > 1:
+                crawl_small["steady_urls_per_sec_runs"] = [
+                    r["steady_urls_per_sec"] for r in small_runs
+                ]
+                crawl_small["headline_stat"] = f"median_of_{reps}"
             thr_n, thr_n4 = (
                 crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
                 crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
@@ -461,6 +476,7 @@ def main() -> None:
                 "steady_urls_per_sec_n4": thr_n4,
                 "efficiency": round(eff, 3),
             }
+            result["crawl_small"] = crawl_small
         except Exception as exc:  # noqa: BLE001
             result["scaling_error"] = f"{type(exc).__name__}: {exc}"
     result["bench_wall_sec"] = round(time.time() - t_start, 2)

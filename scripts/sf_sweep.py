@@ -25,9 +25,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BENCH_QUERIES  # noqa: E402
-
-
 def main() -> None:
     dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
@@ -37,13 +34,17 @@ def main() -> None:
     from newscrawler_spark.queries import QUERIES
     from newscrawler_spark.session import get_spark
 
+    # the FULL query surface (all 39 driver-checked entries), not just
+    # the bench subset: a super-linear surprise in an un-benched query
+    # is exactly what the sweep exists to catch
+    names = list(QUERIES)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("sf-sweep", cores=cpus, shuffle_partitions=2 * cpus)
     sweep: dict[str, dict[str, float]] = {}
     rows: dict[str, int] = {}
     for d in dirs:
         out: dict[str, float] = {}
-        for name in BENCH_QUERIES:
+        for name in names:
             t0 = time.time()
             try:
                 n = QUERIES[name](spark, d).count()
@@ -66,7 +67,7 @@ def main() -> None:
     if len(dirs) >= 2:
         a, b = dirs[-2], dirs[-1]
         row_ratio = rows[b] / max(rows[a], 1)
-        for name in BENCH_QUERIES:
+        for name in names:
             wa, wb = sweep[a].get(name), sweep[b].get(name)
             if wa and wb and wa > 0 and wb > 0:
                 ratios[name] = {

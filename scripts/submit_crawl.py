@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64, help="seen-set hash buckets")
     ap.add_argument("--bloom-bits", type=int, default=1 << 22, help="bloom bits per bucket")
     ap.add_argument("--capacity", type=int, default=100, help="default per-domain budget/round")
+    ap.add_argument("--budgets", help="parquet of per-domain politeness budgets (schema.BUDGETS); default synthetic")
+    ap.add_argument("--robots", help="parquet of robots rules (schema.ROBOTS); default synthetic; live fetch overrides per round")
+    ap.add_argument("--live-robots", action="store_true",
+                    help="fetch robots.txt for frontier domains through the engine's own fetch stage each round")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,8 +75,16 @@ def main() -> None:
         fetcher = (
             FixtureFetcher(spark.read.parquet(args.pages)) if args.pages else HttpFetcher()
         )
-        budgets = synth.synth_budgets(spark, capacity_default=args.capacity)
-        robots = synth.synth_robots(spark)
+        budgets = (
+            spark.read.parquet(args.budgets)
+            if args.budgets
+            else synth.synth_budgets(spark, capacity_default=args.capacity)
+        )
+        robots = (
+            spark.read.parquet(args.robots)
+            if args.robots
+            else synth.synth_robots(spark)
+        )
 
     seed_frontier(cat, seeds)
     totals = crawl(
@@ -85,6 +97,7 @@ def main() -> None:
         conf=RoundConfig(
             n_buckets=args.buckets, m_bits=args.bloom_bits, n_partitions=n_partitions
         ),
+        robots_fetcher=fetcher if args.live_robots else None,
     )
     print(json.dumps({"rounds": totals, "catalog": args.catalog}))
 
