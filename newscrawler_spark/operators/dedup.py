@@ -204,24 +204,38 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 16,
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}) minhash signature via n seeded md5_64 hashes:
-    h_j(doc) = min over shingles s of md5_64(s || '#' || j).
+    """(doc_id, h0..h{n-1}) permuted-minhash signature: each shingle is
+    hashed ONCE (md5_64 truncated to 32 bits), then the n component
+    hashes are Carter-Wegman permutations h_j = min over shingles of
+    (a_j * x + b_j) mod P (xhash.minhash_consts) — pure bigint
+    arithmetic in the partial agg instead of n seeded md5s per shingle,
+    which were ~n x the signature stage's CPU and dominated the
+    per-round dedup wall in the bench crawl.  Reproduced verbatim by
+    the DuckDB oracle (queries._sigs_cte) and minhash_perm_py.
 
-    Shape: explode shingles → one groupBy(doc_id) with n min-aggregates.
-    One shuffle with map-side partial aggregation; the agg is also a
-    CollapseProject barrier, so downstream banding never re-inlines the
-    shingle computation (the earlier array-transform form recomputed the
-    whole signature per band — 56 s for 500 docs; this form: ~2 s).
+    Shape: explode shingles → project the base hash once → one
+    groupBy(doc_id) with n min-aggregates.  One shuffle with map-side
+    partial aggregation; the agg is also a CollapseProject barrier, so
+    downstream banding never re-inlines the shingle computation (the
+    earlier array-transform form recomputed the whole signature per
+    band — 56 s for 500 docs; this form: ~2 s).
     Docs with no shingles (< k words) hash the whole text instead.
     """
+    from ..xhash import MINHASH_MASK, MINHASH_P, minhash_consts
+
     sh = shingles(text_col, k)
     base = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.trim(F.col(text_col))))
     exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode(base).alias("s"))
+    xed = exploded.select(
+        "doc_id", md5_64(F.col("s")).bitwiseAND(F.lit(MINHASH_MASK)).alias("x")
+    )
     aggs = [
-        F.min(md5_64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}")
-        for j in range(n_hashes)
+        F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(
+            f"h{j}"
+        )
+        for j, (a, b) in enumerate(minhash_consts(n_hashes))
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return xed.groupBy("doc_id").agg(*aggs)
 
 
 def signature_bands(

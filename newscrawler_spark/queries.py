@@ -589,21 +589,34 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sigs_cte(n_hashes: int = 16) -> str:
+    """The shared `sigs` CTE — permuted minhash over sg1, the exact
+    DuckDB twin of dedup.minhash_signatures: base hash once per
+    shingle (md5_64 & 2^32-1), then n Carter-Wegman min-aggregates
+    (same (a_j, b_j) table via xhash.minhash_consts)."""
+    from .xhash import MINHASH_MASK, MINHASH_P, minhash_consts
+
+    mins = ",\n         ".join(
+        f"min((x * {a} + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(minhash_consts(n_hashes))
+    )
+    return (
+        f"sigs AS (SELECT doc_id, {mins}\n"
+        f"         FROM (SELECT doc_id, ({md5_64_sql('s')} & {MINHASH_MASK}) AS x"
+        f" FROM sg1) GROUP BY doc_id)"
+    )
+
+
 def _minhash_ctes() -> str:
     """The shared CTE chain ending in `verified` = the MinHash→LSH→
     Jaccard-verified near-dup pairs (threshold 0.05) — used by both the
     minhash_lsh oracle and the dup_clusters recursive-CTE oracle."""
-    min_exprs = []
-    for j in range(16):
-        seeded = "s || '#" + str(j) + "'"
-        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
-    mins = ",\n         ".join(min_exprs)
     keys = ", ".join(
         md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
         for b in range(8)
     )
     return f"""{SHINGLE3_CTE},
-sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+{_sigs_cte()},
 banded AS (SELECT doc_id,
                   unnest(range(8)) AS band,
                   unnest([{keys}]) AS key
@@ -648,11 +661,6 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_incremental_neardup() -> str:
-    min_exprs = []
-    for j in range(16):
-        seeded = "s || '#" + str(j) + "'"
-        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
-    mins = ",\n         ".join(min_exprs)
     keys = ", ".join(
         md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
         for b in range(8)
@@ -660,7 +668,7 @@ def _sql_incremental_neardup() -> str:
     eq = " + ".join(f"(a.h{j} = b.h{j})::INT" for j in range(16))
     return f"""
 WITH {SHINGLE3_CTE},
-sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+{_sigs_cte()},
 banded AS (SELECT doc_id,
                   unnest(range(8)) AS band,
                   unnest([{keys}]) AS key
@@ -708,11 +716,6 @@ def q_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_incremental_neardup_capped() -> str:
-    min_exprs = []
-    for j in range(16):
-        seeded = "s || '#" + str(j) + "'"
-        min_exprs.append(f"min({md5_64_sql(seeded)}) AS h{j}")
-    mins = ",\n         ".join(min_exprs)
     keys = ", ".join(
         md5_64_sql(f"h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR")
         for b in range(8)
@@ -720,7 +723,7 @@ def _sql_incremental_neardup_capped() -> str:
     eq = " + ".join(f"(a.h{j} = b.h{j})::INT" for j in range(16))
     return f"""
 WITH {SHINGLE3_CTE},
-sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, s FROM sg1) GROUP BY doc_id),
+{_sigs_cte()},
 banded AS (SELECT doc_id,
                   unnest(range(8)) AS band,
                   unnest([{keys}]) AS key

@@ -44,6 +44,35 @@ def md5_64_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:MD5_PREFIX_HEX_CHARS], 16)
 
 
+# --- permuted minhash --------------------------------------------------------
+# One md5 per shingle + n Carter-Wegman permutations replaces n seeded
+# md5s per shingle (the md5 was ~n x the signature stage's CPU).  The
+# base hash is md5_64 truncated to 32 bits; each component hash is
+# h_j = (a_j * x + b_j) mod P with P the smallest prime > 2^32 and
+# a_j < 2^30, so a_j * x < 2^62 never overflows int64 in either engine.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_MASK = 4294967295  # 2^32 - 1
+
+
+def minhash_consts(n_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation constants, a in [1, 2^30),
+    b in [0, 2^30) — derived from md5 of fixed labels so Spark, the
+    DuckDB oracle builder, and the pure-Python twin regenerate the
+    identical table with no shared state."""
+    return [
+        (
+            md5_64_py(f"minhash-a-{j}") % ((1 << 30) - 1) + 1,
+            md5_64_py(f"minhash-b-{j}") % (1 << 30),
+        )
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_perm_py(x: int, a: int, b: int) -> int:
+    """Pure-Python twin of the permutation applied to a 32-bit base."""
+    return (a * (x & MINHASH_MASK) + b) % MINHASH_P
+
+
 def bucket_of(col: Column | str, n_buckets: int) -> Column:
     """Engine-internal bucket assignment: murmur3 via F.hash, non-negative."""
     c = F.col(col) if isinstance(col, str) else col
