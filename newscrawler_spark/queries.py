@@ -784,7 +784,7 @@ SQL_SIMHASH = r"""
 WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
 w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
 h AS (SELECT doc_id, {h} AS wh FROM w),
-votes AS (SELECT doc_id, unnest(range(32)) AS bit, wh FROM h),
+votes AS (SELECT doc_id, unnest(range(60)) AS bit, wh FROM h),
 v AS (SELECT doc_id, bit,
              sum(CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM votes GROUP BY doc_id, bit)
@@ -806,7 +806,7 @@ _SQL_SIMHASH_CTES = r"""
 WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
 w AS (SELECT doc_id, unnest(ws) AS word FROM wl),
 h AS (SELECT doc_id, {h} AS wh FROM w),
-votes AS (SELECT doc_id, unnest(range(32)) AS bit, wh FROM h),
+votes AS (SELECT doc_id, unnest(range(60)) AS bit, wh FROM h),
 v AS (SELECT doc_id, bit,
              sum(CASE WHEN (wh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM votes GROUP BY doc_id, bit),
