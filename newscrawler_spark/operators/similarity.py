@@ -295,20 +295,46 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairwise cosine within blocks (the
     block column bounds the quadratic — label, LSH bucket, cluster id).
+
+    The block join is SALTED: the probe side gets salt = hash(id) mod
+    n_salts, the build side is replicated across all salts, and the
+    join key is (blk, salt) — so the quadratic cosine work of a block
+    spreads over n_salts partitions instead of pinning one task per
+    block value (measured: with a handful of label blocks the sf1
+    sweep ran the whole 20 M-pair compute in ONE task, 98x the sf0.1
+    wall for 10x the rows).  Each (a, b) pair still meets exactly once
+    — a's salt picks which replica of b it joins.  Replication costs
+    n_salts x the (small) vector table, not n_salts x the pairs.
 
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
     """
     a = vectors.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"), _vec(vec_col).alias("va")
-    )
+    ).withColumn("salt", F.pmod(F.hash(F.col("vec_a")), F.lit(n_salts)).cast("int"))
+    # explicit repartition on the join keys: if the build side ends up
+    # broadcast, the join would otherwise inherit the probe side's scan
+    # partitioning (often 1-2 parquet splits) and the whole quadratic
+    # compute runs serial; when the join shuffles anyway, Catalyst
+    # elides this exchange as redundant.  The partition COUNT is
+    # explicit (REPARTITION_BY_NUM): AQE coalesces shuffles by INPUT
+    # bytes, and the vector table is small — it merged the join down
+    # to 7 partitions, un-spreading the quadratic output the salt
+    # exists to spread
+    spark = vectors.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), n_salts)
+    a = a.repartition(n_part, F.col("blk"), F.col("salt"))
     b = vectors.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"), _vec(vec_col).alias("vb")
+    ).withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
