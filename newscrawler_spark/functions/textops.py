@@ -160,35 +160,3 @@ def rolling_fingerprint(col: Column | str, k: int = 5) -> Column:
 SIMHASH_BITS = 60  # md5_64 yields 60 usable bits — use them all
 
 
-def simhash60(col: Column | str, n_bits: int = SIMHASH_BITS) -> Column:
-    """60-bit SimHash over whitespace tokens.
-
-    bit_i(doc) = 1 iff sum over tokens of (+1 if bit_i(md5_64(token))
-    else -1) > 0.  Pure higher-order-function fold — no explode, no
-    shuffle; cross-engine reproducible (md5_64 + integer arithmetic).
-
-    60 bits (was 32): with pigeonhole blocking into 4 sub-blocks the
-    block width becomes 15 bits → 32,768 bucket values, so candidate
-    bucket occupancy is n/32768 instead of n/256 — the 32-bit variant's
-    block join degraded quadratically once corpora passed ~10^5 docs
-    (measured: the sf1 scale sweep ground for minutes on 50 k docs).
-    """
-    ws = words(col)
-    hashes = F.transform(ws, lambda w: md5_64(w))
-
-    def _vote(i: int):
-        def fold(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fold
-
-    bits = []
-    for i in range(n_bits):
-        votes = F.aggregate(hashes, F.lit(0), _vote(i))
-        bits.append(F.when(votes > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.alias("simhash")

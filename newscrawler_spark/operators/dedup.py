@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textops import SIMHASH_BITS, shingles, simhash60, words
+from ..functions.textops import SIMHASH_BITS, shingles, words
 from ..xhash import md5_64
 
 # ---------------------------------------------------------------------------
@@ -555,8 +555,42 @@ def dup_clusters(
 # ---------------------------------------------------------------------------
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 60-bit simhash per document."""
-    return docs.select(F.col(id_col).alias("doc_id"), simhash60(text_col).alias("simhash"))
+    """(doc_id, simhash) — 60-bit simhash per document.
+
+    Shape: explode whitespace tokens → hash each token ONCE → one
+    groupBy(doc_id) with 60 conditional-sum vote aggregates, then
+    assemble the sign bits.  The previous scalar-column form folded
+    over `transform(words, md5_64)` once PER BIT — Catalyst keeps a
+    copy of the transform inside each of the 60 vote expressions, so
+    every token was md5-hashed 60 times (measured: 2x wall going
+    32 -> 60 bits purely from the re-hashing).  Same
+    explode-then-partial-agg shape as minhash_signatures; the agg is
+    also a barrier, so the block-join in simhash_pairs never
+    re-inlines the hash computation into both join sides.
+
+    Token-stream equality with the fold form: words() is
+    split(trim(text), '\\s+'), which never yields an empty array for
+    non-null text (splitting '' gives ['']), so explode drops no
+    documents; null text drops the row, matching the DuckDB oracle's
+    unnest(NULL) -> no rows.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
+    ).select("doc_id", md5_64(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    v = hashed.groupBy("doc_id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        out = out + F.when(
+            F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return v.select("doc_id", out.alias("simhash"))
 
 
 def simhash_pairs(

@@ -59,6 +59,19 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # floor on file-scan splits: CPU-heavy expressions fused into a
+        # parquet scan (simhash's 60-bit fold, curation regexes) are
+        # otherwise bound by file split count — a 35 MB table is 1-2
+        # splits under the 128 MB default, serializing the compute on a
+        # 32-core box.  A FLOOR (not a smaller maxPartitionBytes) is
+        # the scale-safe form: at 100 TB the natural split count dwarfs
+        # it and the knob is inert
+        .config("spark.sql.files.minPartitionNum", str(2 * cores))
+        # the floor is computed as max(openCostInBytes, bytes/minPartitionNum),
+        # so the 4 MB default open-cost re-serializes any table under
+        # 4 MB x minPartitionNum; 64 KB keeps the floor effective while
+        # still packing genuinely tiny files together
+        .config("spark.sql.files.openCostInBytes", "65536")
         # deterministic outputs: never let timezone/locale leak into results
         .config("spark.sql.datetime.java8API.enabled", "true")
         # constraint propagation explodes exponentially on our aliased
