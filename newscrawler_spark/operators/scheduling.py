@@ -125,9 +125,11 @@ def budget_gate(
     single-window behavior — an unbounded budget admits everything
     anyway.
 
-    persist_fn, when given, materializes the sharded and ranked frames
-    before their two-way splits so neither side re-executes its window
-    (on a cluster this would be a short-lived checkpoint table).
+    persist_fn, when given, materializes the sharded stage-1 frame
+    before its two-way split so neither side re-executes the unbounded
+    window (on a cluster this would be a short-lived checkpoint table);
+    the bounded stage-2 frame is cheaper to recompute than to
+    checkpoint (see the inline note).
     """
     b = budgets.select(
         F.col("domain").alias("b_domain"), "capacity", "window_s"
@@ -164,8 +166,15 @@ def budget_gate(
     ranked = survivors.withColumn("rank", F.row_number().over(w)).withColumn(
         "__eff_cap", eff_cap
     )
-    if persist_fn is not None:
-        ranked = persist_fn(ranked)
+    # NOT materialized: ranked's two consumers each re-run the stage-2
+    # window, but it is BOUNDED (<= pre_cap_salt x capacity rows per
+    # domain, partition-parallel) — re-sorting it twice costs well under
+    # a second of executor time, while the checkpoint it replaced cost
+    # 2-4 s of serial DRIVER plan-compile every round (toRdd runs the
+    # full Catalyst pipeline per checkpoint; measured via the
+    # SPARK_GRAFT_ROUND_TIMING plan marks).  The sharded `pre` frame
+    # stays materialized: its stage-1 window runs over the whole
+    # unbounded candidate set.
     eligible = ranked.filter(F.col("rank") <= F.col("__eff_cap")).drop(
         "__eff_cap", "capacity", "window_s", "crawl_delay_s"
     )

@@ -113,6 +113,26 @@ def run_round(
 ) -> RoundResult:
     spark = frontier.sparkSession
 
+    # fine-grained driver-time attribution for the plan-construction
+    # phase (same env var as the scheduler's stage timing): plan build
+    # is the round's serial Amdahl term, so knowing WHICH sub-step
+    # grows is what makes it optimizable
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = bool(_os.environ.get("SPARK_GRAFT_ROUND_TIMING"))
+    _marks: list = [_time.time()]
+
+    def _m(label: str) -> None:
+        if _timing:
+            now = _time.time()
+            print(
+                f"      [plan {round_no}] {label}: {now - _marks[0]:.2f}s",
+                file=_sys.stderr,
+            )
+            _marks[0] = now
+
     # The round's outputs (docs, seen, quarantine, order, next frontier)
     # all fan out of a few pivotal frames; without materialization each
     # delta write re-executes the whole chain (measured 5x fetch+extract
@@ -139,6 +159,7 @@ def run_round(
     # 1-2. identity + within-round dedup
     cand = with_url_identity(frontier)
     cand = dedup_within_round(cand)
+    _m("identity+dedup")
 
     # 3. seen-set anti-join (bloom prune + exact) over ALL candidates —
     # one probe pass; the supported/unsupported split happens after
@@ -153,6 +174,7 @@ def run_round(
                 cand, url_seen, sidecar, conf.n_buckets, conf.m_bits
             )
     cand = _p(cand)
+    _m("seen probe + checkpoint")
 
     # unsupported-platform rows are terminal (extractor has no dialect —
     # mirrors detect_platform → None → error, extractor.py:56-73)
@@ -164,6 +186,7 @@ def run_round(
 
     # 5. budget gate → (eligible, deferred); ranked frame materialized
     eligible, deferred = budget_gate(allowed, budgets, persist_fn=_p)
+    _m("robots + budget gate")
 
     # 6. fetch + extract.  Partitioning for the fetch is the FETCHER's
     # concern: HttpFetcher salts by (domain, salt) for politeness
@@ -193,6 +216,7 @@ def run_round(
             eligible, platform_config_df(spark), boot_config
         )
     fetched = fetcher.fetch(eligible, size_hint_rows=fetch_size_hint)
+    _m("fetch plan")
 
     from ..functions.extract import extract_udf
 
@@ -210,6 +234,7 @@ def run_round(
         )
         .drop("html")
     )
+    _m("extract + checkpoint")
     ok = extracted.filter(F.col("status") == 200)
     valid = ok.filter(
         F.col("ex.error").isNull()
@@ -341,6 +366,7 @@ def run_round(
     frontier_next = deferred.select(*FRONTIER_COLS).unionByName(
         discovered.select(*FRONTIER_COLS)
     )
+    _m("log + frontier_next")
 
     return RoundResult(
         docs=docs,
