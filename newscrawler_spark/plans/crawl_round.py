@@ -27,6 +27,7 @@ config) — discovered rows get seq = md5_64(url), so two cluster sizes
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -150,10 +151,35 @@ def run_round(
     # Blocks are MEMORY_AND_DISK like persist and are released by the
     # ContextCleaner once the round's references are dropped.
     persisted: list = []
+    overlap = os.environ.get("SPARK_GRAFT_BG_MATERIALIZE", "1") != "0"
 
     def _p(df: DataFrame) -> DataFrame:
         df = df.localCheckpoint(eager=False)
         persisted.append(df)
+        # overlap materialization with downstream plan compiles: each
+        # checkpoint's toRdd costs 2-4 s of serial DRIVER Catalyst time
+        # while the executors sit idle — kick the checkpoint's compute
+        # job in a background thread NOW so it runs underneath the next
+        # sub-plan's compile instead of lazily inside the first write.
+        # The checkpoint RDD is already compiled and shared, so the
+        # background count materializes the same blocks the write jobs
+        # would (FIFO-queued; content and AQE decisions are fixed at
+        # compile time — determinism is untouched, and the crawl-swap
+        # bit-identity tests assert it).  Errors are swallowed: the
+        # same lineage re-raises in the foreground write if real.
+        # Gate: SPARK_GRAFT_BG_MATERIALIZE=0 disables the overlap (A/B
+        # benchmarking + safety valve on busy shared drivers).
+        if not overlap:
+            return df
+        from pyspark import InheritableThread
+
+        def _materialize(d: DataFrame = df) -> None:
+            try:
+                d.count()
+            except Exception:
+                pass  # foreground consumers surface real failures
+
+        InheritableThread(target=_materialize, daemon=True).start()
         return df
 
     # 1-2. identity + within-round dedup
