@@ -26,7 +26,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
-    dirs = sys.argv[1:] or [
+    only: list[str] | None = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    dirs = argv or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
         "/tmp/sfscale/sf1",
@@ -37,7 +43,7 @@ def main() -> None:
     # the FULL query surface (all 39 driver-checked entries), not just
     # the bench subset: a super-linear surprise in an un-benched query
     # is exactly what the sweep exists to catch
-    names = list(QUERIES)
+    names = [n for n in QUERIES if only is None or n in only]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("sf-sweep", cores=cpus, shuffle_partitions=2 * cpus)
     sweep: dict[str, dict[str, float]] = {}
