@@ -170,6 +170,36 @@ class FixtureFetcher:
         if corpus_partitions is not None:
             self._urls = self._urls.coalesce(corpus_partitions)
         self._urls = self._urls.cache()
+        # S3 hop prepass, ONCE at init (amortized over rounds): which
+        # corpus pages are iframe HOLDERS (url → resolved target), and
+        # the sub-corpus their targets can reach.  fetch() previously
+        # detected holders per round by regexing every fetched page's
+        # html AND resolved them by streaming the full HTML cache a
+        # second (and, via the nonhop/hop filter-split re-executing the
+        # main join, a third) time — measured as the crawl's dominant
+        # memory-bandwidth term.  With the mapping precomputed, a round
+        # streams the corpus exactly once: hop requests split off by a
+        # broadcast join against the (tiny, html-free) holder mapping
+        # and resolve against the (small) target sub-corpus.  A target
+        # can only be a URL some 200-status corpus page references, so
+        # the sub-corpus is exhaustive by construction; misses still
+        # recover against the full URL list.
+        holders = (
+            self.pages.filter(F.col("status") == 200)
+            .select(
+                F.col("url").alias("h_url"),
+                iframe_target_col(F.col("html"), F.col("url")).alias("h_target"),
+            )
+            .filter(F.col("h_target").isNotNull())
+        )
+        self._holders = holders.persist(StorageLevel.MEMORY_AND_DISK)
+        targets = self._holders.select(F.col("h_target").alias("t_url")).distinct()
+        hop_pages = self.pages.join(
+            targets, self.pages["url"] == targets["t_url"], "left_semi"
+        )
+        if corpus_partitions is not None:
+            hop_pages = hop_pages.coalesce(corpus_partitions)
+        self._hop_pages = hop_pages.persist(StorageLevel.MEMORY_AND_DISK)
 
     def close(self) -> None:
         """Release the cached corpus projections.  Callers that outlive
@@ -178,6 +208,8 @@ class FixtureFetcher:
         use (``with FixtureFetcher(pages) as f:``) does it for you."""
         self.pages.unpersist()
         self._urls.unpersist()
+        self._holders.unpersist()
+        self._hop_pages.unpersist()
 
     def __enter__(self) -> "FixtureFetcher":
         return self
@@ -186,7 +218,11 @@ class FixtureFetcher:
         self.close()
 
     def _lookup(
-        self, requests: DataFrame, url_col: str, hint_broadcast: bool = True
+        self,
+        requests: DataFrame,
+        url_col: str,
+        hint_broadcast: bool = True,
+        pages_src: DataFrame | None = None,
     ) -> DataFrame:
         """Left-join `requests` against the page table WITHOUT ever
         shuffling page HTML: the request side (a round's eligible rows,
@@ -195,8 +231,13 @@ class FixtureFetcher:
         (The naive left join sort-merge-shuffled the full HTML corpus —
         GBs — every round.)  With hint_broadcast=False the explicit
         hints are withheld and AQE/planner statistics pick the strategy
-        (the oversized-request fallback)."""
-        pages = self.pages.select(
+        (the oversized-request fallback).  pages_src narrows the streamed
+        table (the iframe-target sub-corpus for S3 hops); miss recovery
+        always probes the FULL url list, so a request absent from a
+        narrowed pages_src but present in the corpus would surface as a
+        found-vs-missing contradiction rather than silently misses —
+        callers must pass a pages_src exhaustive for their request set."""
+        pages = (pages_src if pages_src is not None else self.pages).select(
             F.col("url").alias("p_url"), "status", "html", "out_links"
         )
         req = F.broadcast(requests) if hint_broadcast else requests
@@ -219,25 +260,29 @@ class FixtureFetcher:
         frontier_next counter — no extra job); None means "unknown,
         assume broadcastable" (tests / first round over seed lists)."""
         bc = size_hint_rows is None or size_hint_rows <= self.broadcast_max_rows
-        out = self._lookup(eligible, "url", hint_broadcast=bc)
 
         # S3 two-phase hop: rows whose page is an iframe holder fetch the
         # target within the same stage; the document keeps the original
-        # URL identity.  Only the (few) hop rows touch the page table a
-        # second time, again stream-side.
-        out = out.withColumn(
-            "__iframe",
-            F.when(
-                F.col("status") == 200, iframe_target_col(F.col("html"), F.col("url"))
-            ),
+        # URL identity.  The hop/nonhop split happens BEFORE the main
+        # join, against the init-time holder mapping (broadcast, html-
+        # free): nonhop requests stream the full corpus exactly once,
+        # hop requests resolve against the small target sub-corpus.
+        # (Splitting AFTER the join — the previous shape — re-executed
+        # the corpus-streaming join once per filter branch and regexed
+        # every page's html every round.)
+        holders = F.broadcast(self._holders)
+        hop = eligible.join(
+            holders, eligible["url"] == holders["h_url"], "inner"
+        ).drop("h_url")
+        nonhop = eligible.join(
+            holders, eligible["url"] == holders["h_url"], "left_anti"
         )
-        nonhop = out.filter(F.col("__iframe").isNull()).drop("__iframe")
-        hop = out.filter(F.col("__iframe").isNotNull()).drop(
-            "status", "html", "out_links"
-        )
+        out = self._lookup(nonhop, "url", hint_broadcast=bc)
         # hop rows are the (few) iframe-holder pages — always broadcast
-        resolved = self._lookup(hop, "__iframe").drop("__iframe")
-        out = nonhop.unionByName(resolved)
+        resolved = self._lookup(
+            hop, "h_target", pages_src=self._hop_pages
+        ).drop("h_target")
+        out = out.unionByName(resolved)
 
         return out.withColumn(
             "attempts",
