@@ -152,9 +152,23 @@ def run_round(
     # ContextCleaner once the round's references are dropped.
     persisted: list = []
     overlap = os.environ.get("SPARK_GRAFT_BG_MATERIALIZE", "1") != "0"
+    # Checkpoint block format: "ser" stores lz4-compressed serialized
+    # rows (python StorageLevel.MEMORY_AND_DISK has deserialized=False;
+    # spark.rdd.compress=true in session.py supplies the lz4), default
+    # the JVM-native deserialized InternalRows.  The ser hypothesis —
+    # trade decompress CPU for DRAM traffic on the round's text-heavy
+    # frames — was MEASURED NEGATIVE in this JVM: JavaSerializer churn
+    # put the checkpoint-materialization stage at 84% GC time (event-log
+    # audit, 32 threads) with steady throughput a wash vs deser in the
+    # same window.  Knob kept so the A/B is reproducible.
+    _ckpt_level = None
+    if os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "deser") == "ser":
+        from pyspark import StorageLevel as _SL
+
+        _ckpt_level = _SL.MEMORY_AND_DISK
 
     def _p(df: DataFrame) -> DataFrame:
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=False, storageLevel=_ckpt_level)
         persisted.append(df)
         # overlap materialization with downstream plan compiles: each
         # checkpoint's toRdd costs 2-4 s of serial DRIVER Catalyst time

@@ -80,6 +80,12 @@ def get_spark(
         # keeps plans ~KB-sized with no semantic change (tune() below has
         # the measurements)
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # lz4 serialized-RDD blocks: only consulted by _SER storage
+        # levels (the round-checkpoint knob below); shuffle/broadcast
+        # compression are separate confs and already default-on.  Text-
+        # heavy checkpoint rows compress ~5x, trading abundant CPU for
+        # the scarce resource at high thread counts — memory bandwidth
+        .config("spark.rdd.compress", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
