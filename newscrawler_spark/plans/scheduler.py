@@ -133,14 +133,45 @@ def crawl(
             )
         return out
 
+    # Deferred-commit pipeline: round N's docs write (its biggest delta,
+    # needed by nothing round N+1 compiles against) runs on a background
+    # thread UNDER round N+1's serial driver work (Catalyst analysis +
+    # codegen, measured ~12 s/round at 32 cores — the driver-bound side
+    # of the scaling ratio).  All other writes stay strictly sequential
+    # in the foreground (concurrent write JOBS measured 4x slower under
+    # the shared local-mode scheduler); the only overlap is executor
+    # work vs driver compile.  Round N's metrics row + manifest commit
+    # happen when the future joins — before any N+1 WRITE — so the
+    # manifest never commits a round whose deltas aren't all on disk
+    # (crash ⇒ redo the uncommitted round; write_delta overwrites, so
+    # the redo is idempotent — unchanged from today's crash story).
+    pending: dict | None = None
+
+    def _finalize_pending(final: bool = False) -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        p, pending = pending, None
+        p["counters"]["docs"] = _t(p["round_no"], "join docs write", p["join"])
+        if final:
+            # no later round overlapped the write tail — attribute it
+            p["counters"]["wall_sec"] = round(_time.time() - p["t_round"], 3)
+        catalog.write_metrics_row(p["round_no"], p["counters"])
+        catalog.commit_round(p["round_no"], p["counters"])
+        p["result"].unpersist()
+        totals[p["round_no"]] = p["counters"]
+
     start = catalog.last_round + 1
     for round_no in range(start, max_rounds):
-        import time as _time
-
         t_round = _time.time()
         # committed counters already know if the frontier drained — no
-        # isEmpty() job needed except for the un-counted seed round
-        prev = catalog.read_manifest().get("rounds", {}).get(str(round_no - 1))
+        # isEmpty() job needed except for the un-counted seed round; an
+        # uncommitted pending round's counters live in memory
+        prev = (
+            pending["counters"]
+            if pending is not None and pending["round_no"] == round_no - 1
+            else catalog.read_manifest().get("rounds", {}).get(str(round_no - 1))
+        )
         frontier_path = catalog.delta_path("frontier", round_no)
         # explicit schemas on the per-round reads: schema inference costs
         # a driver-side footer scan per round (pure fixed cost), and at
@@ -209,15 +240,20 @@ def crawl(
             boot_config=boot_cfg,
         ))
 
+        # the previous round's backgrounded docs write ran under this
+        # round's plan compile; join + commit it before any write job
+        _finalize_pending()
+
         # actions: write all deltas, then commit atomically (sequential —
         # measured: concurrent write jobs contend on the shared local-mode
-        # scheduler/memory and run 4x slower than back-to-back).
+        # scheduler/memory and run 4x slower than back-to-back; the ONLY
+        # exception is the docs write, which is spawned LAST and overlaps
+        # exclusively with the next round's driver compile).
         # Per-round Spark jobs: docs, round_log (seen ∪ order ∪
         # quarantine in ONE partitioned write), frontier, bloom,
         # budget_state — 5, down from 8; the metrics row is written
         # driver-side (pyarrow), and per-table counts ride on the two
         # big writes as Observations.
-        n_docs = _t(round_no, "write docs", lambda: catalog.write_delta(result.docs, "docs", round_no))
         log_counts = _t(round_no, "write round_log", lambda: catalog.write_round_log(result.round_log, round_no))
         n_next = _t(round_no, "write frontier", lambda: catalog.write_delta(
             result.frontier_next, "frontier", round_no + 1
@@ -275,7 +311,15 @@ def crawl(
         # per-ingest dedup shape) — batch = the just-written docs delta
         # (re-read, so the round lineage isn't re-executed), history =
         # the committed index/signature deltas of earlier rounds
+        # docs write: foreground when this round must read the delta
+        # straight back (incremental dedup); otherwise backgrounded
+        # under the NEXT round's driver compile (see pipeline note)
+        n_docs = None
         n_neardup = None
+        if conf.dedup_docs:
+            n_docs = _t(round_no, "write docs", lambda: catalog.write_delta(
+                result.docs, "docs", round_no
+            ))
         if conf.dedup_docs and n_docs > 0:
             from ..operators.dedup import doc_text, incremental_neardup
 
@@ -322,12 +366,12 @@ def crawl(
         }
         if n_neardup is not None:
             counters["neardup_matches"] = n_neardup
-        # A3/A4: per-round metrics row + budget accounting delta (the
-        # reference's batch success/fail counters and APIKeyPool folds,
-        # round-wise — see operators.scheduling.budget_accounting)
+        # A3/A4: budget accounting delta (the reference's batch
+        # success/fail counters and APIKeyPool folds, round-wise — see
+        # operators.scheduling.budget_accounting); the metrics row is
+        # written at commit time (it needs the docs count)
         from ..operators.scheduling import budget_accounting
 
-        catalog.write_metrics_row(round_no, counters)
         if log_counts["order"] <= BUDGET_LOCAL_MAX_ROWS:
             _t(round_no, "write budget_state (local)", lambda: (
                 catalog.write_budget_state_row_local(round_no, budget_rows)
@@ -339,10 +383,44 @@ def crawl(
                 "budget_state",
                 round_no,
             ))
-        catalog.commit_round(round_no, counters)
-        _t(round_no, "unpersist", result.unpersist)
-        totals[round_no] = counters
+
+        if n_docs is not None:
+            # docs already on disk (dedup mode) — commit inline
+            catalog.write_metrics_row(round_no, counters)
+            catalog.commit_round(round_no, counters)
+            _t(round_no, "unpersist", result.unpersist)
+            totals[round_no] = counters
+        else:
+            # spawn the docs write LAST (all foreground writes done) so
+            # it overlaps only the next round's serial driver compile
+            from pyspark import InheritableThread
+
+            box: dict = {}
+
+            def _write_docs(res=result, rn=round_no, out=box) -> None:
+                try:
+                    out["n"] = catalog.write_delta(res.docs, "docs", rn)
+                except BaseException as exc:  # noqa: BLE001 — re-raised on join
+                    out["exc"] = exc
+
+            th = InheritableThread(target=_write_docs, daemon=True)
+            th.start()
+
+            def _join(t=th, out=box) -> int:
+                t.join()
+                if "exc" in out:
+                    raise out["exc"]
+                return out["n"]
+
+            pending = {
+                "round_no": round_no,
+                "counters": counters,
+                "join": _join,
+                "result": result,
+                "t_round": t_round,
+            }
 
         if stop_after_round is not None and round_no >= stop_after_round:
             break
+    _finalize_pending(final=True)
     return totals

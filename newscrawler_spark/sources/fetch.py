@@ -153,16 +153,26 @@ class FixtureFetcher:
         # each time (event-log audit: repeated pages scans were ~40% of
         # all crawl task time).  MEMORY_AND_DISK: spills, never OOMs.
         #
-        # coalesce bounds the cached partition count: the fetch-join
-        # output inherits the corpus partitioning, and every downstream
-        # consumer of the round's persisted fetch+extract frame launches
-        # one task per partition — a 182-partition parquet source made
-        # small rounds pay hundreds of near-empty tasks per write
-        # (scheduling overhead, not work).  coalesce never shuffles and
-        # never raises the count.
+        # HASH-repartition (url) to corpus_partitions, not coalesce: the
+        # fetch-join output inherits the corpus partitioning, so the
+        # cached layout decides which cores run everything downstream of
+        # the join — including the extract UDF, the crawl's dominant CPU
+        # stage.  A crawl round's URLs are id-contiguous in the archive
+        # parquet's write order, so under coalesce a round's matched
+        # pages concentrated in the few splits covering that id range
+        # (measured: 94% of a 400k-row round in 8 of 64 partitions —
+        # extraction serialized on 8 cores however many exist, the
+        # measured cause of the flat 8->32 scaling ratio).  Hashing by
+        # url spreads any round's match set uniformly for a one-time
+        # init shuffle, and matches live-fetch reality: HTTP responses
+        # arrive partitioned by the request side, never by archive file
+        # order.  Bounding the partition count also keeps small rounds
+        # from paying one near-empty task per source split per scan
+        # (a 182-partition parquet source measured hundreds of no-op
+        # tasks per round write).
         src = pages.select("url", "status", "html", "out_links")
         if corpus_partitions is not None:
-            src = src.coalesce(corpus_partitions)
+            src = src.repartition(corpus_partitions, "url")
         self.pages = src.persist(StorageLevel.MEMORY_AND_DISK)
         # URL-only projection, cached across rounds: the miss-recovery
         # anti-join probes this instead of rescanning page HTML
