@@ -79,9 +79,27 @@ class RoundResult:
     frontier_next: DataFrame
     counters: dict  # filled by the scheduler after actions run
     persisted: list = None  # frames to unpersist after the round commits
+    # the extracted frame — the round's heaviest blocks and the ONLY
+    # checkpoint the (backgroundable) docs write still reads after the
+    # foreground writes finish; released separately so the pipelined
+    # scheduler can free everything else before the next round's compile
+    # (holding a whole round's checkpoints across the overlap window was
+    # measured as a 25%-of-runtime GC storm at 32 threads)
+    persisted_heavy: list = None
 
-    def unpersist(self) -> None:
-        """Release the round's materialized frames EAGERLY.
+    @staticmethod
+    def _release(frames: list) -> None:
+        for df in frames or []:
+            df.unpersist()
+            try:
+                plan = df._jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass  # cleanup is best-effort; the ContextCleaner backstops
+
+    def unpersist_light(self) -> None:
+        """Release every materialized frame EXCEPT the extracted one.
 
         ``Dataset.unpersist`` only clears CacheManager entries — the
         RDD behind a localCheckpoint is invisible to it and otherwise
@@ -90,14 +108,14 @@ class RoundResult:
         and push later rounds into eviction/spill thrash.  Reach into
         the LogicalRDD leaf and unpersist the checkpoint RDD directly
         (verified: getPersistentRDDs drops to zero immediately)."""
-        for df in self.persisted or []:
-            df.unpersist()
-            try:
-                plan = df._jdf.queryExecution().analyzed()
-                if plan.getClass().getSimpleName() == "LogicalRDD":
-                    plan.rdd().unpersist(False)
-            except Exception:
-                pass  # cleanup is best-effort; the ContextCleaner backstops
+        frames, self.persisted = self.persisted, None
+        self._release(frames)
+
+    def unpersist(self) -> None:
+        """Release ALL the round's materialized frames (idempotent)."""
+        self.unpersist_light()
+        frames, self.persisted_heavy = self.persisted_heavy, None
+        self._release(frames)
 
 
 def run_round(
@@ -151,6 +169,7 @@ def run_round(
     # Blocks are MEMORY_AND_DISK like persist and are released by the
     # ContextCleaner once the round's references are dropped.
     persisted: list = []
+    persisted_heavy: list = []
     overlap = os.environ.get("SPARK_GRAFT_BG_MATERIALIZE", "1") != "0"
     # Checkpoint block format: "ser" stores lz4-compressed serialized
     # rows (python StorageLevel.MEMORY_AND_DISK has deserialized=False;
@@ -167,9 +186,9 @@ def run_round(
 
         _ckpt_level = _SL.MEMORY_AND_DISK
 
-    def _p(df: DataFrame) -> DataFrame:
+    def _p(df: DataFrame, heavy: bool = False) -> DataFrame:
         df = df.localCheckpoint(eager=False, storageLevel=_ckpt_level)
-        persisted.append(df)
+        (persisted_heavy if heavy else persisted).append(df)
         # overlap materialization with downstream plan compiles: each
         # checkpoint's toRdd costs 2-4 s of serial DRIVER Catalyst time
         # while the executors sit idle — kick the checkpoint's compute
@@ -272,7 +291,9 @@ def run_round(
         .withColumn(
             "ex", extract_udf(F.col("html"), F.col("url"), F.col("platform"))
         )
-        .drop("html")
+        .drop("html"),
+        heavy=True,  # the docs write's input — released at commit, after
+        # every lighter frame (see RoundResult.unpersist_light)
     )
     _m("extract + checkpoint")
     # SLIM twin of the extracted checkpoint: everything the round_log
@@ -434,4 +455,5 @@ def run_round(
         frontier_next=frontier_next,
         counters={},
         persisted=persisted,
+        persisted_heavy=persisted_heavy,
     )

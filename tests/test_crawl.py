@@ -124,6 +124,44 @@ def test_kill_and_resume_bit_identical(spark, world, engine_result, tmp_path_fac
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_crash_with_uncommitted_deltas_redoes_round(spark, world, engine_result,
+                                                    tmp_path_factory):
+    """The deferred-commit pipeline's crash window: round N's deltas are
+    on disk but the manifest never committed N (the docs-write future
+    joins before commit, so a crash can leave exactly this state).
+    Resume must REDO round N over the stale uncommitted files —
+    overwrite-idempotent — and every output must stay bit-identical."""
+    import json
+
+    seeds, pages, budgets, robots = world
+    cat2 = Catalog(tmp_path_factory.mktemp("crawl_crash"))
+    seed_frontier(cat2, seeds)
+    crawl(spark, cat2, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=CONF, stop_after_round=1)
+    assert cat2.last_round == 1
+    # simulate the crash state: round 1's deltas exist, manifest says 0
+    manifest = cat2.read_manifest()
+    manifest["last_round"] = 0
+    del manifest["rounds"]["1"]
+    cat2._manifest_path.write_text(json.dumps(manifest))
+    assert cat2.last_round == 0
+
+    crawl(spark, cat2, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=CONF)
+
+    for table, key in [
+        ("fetch_order", ["round", "domain", "rank", "canonical_url", "url"]),
+        ("url_seen", ["canonical_url", "round_seen"]),
+        ("quarantine", ["url", "round", "error", "attempt"]),
+    ]:
+        a = engine_result.read_table(spark, table).select(*key)
+        b = cat2.read_table(spark, table).select(*key)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), table
+    a = engine_result.read_table(spark, "docs")
+    b = cat2.read_table(spark, "docs")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_crawl_with_cuckoo_filter_identical(spark, world, engine_result,
                                             tmp_path_factory):
     """Swapping the bloom sidecar for the cuckoo filter
