@@ -29,6 +29,13 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cores)
+    # resolved once so -Xms below always equals -Xmx, even when the
+    # caller overrides the heap via SPARK_DRIVER_MEM or extra_conf
+    driver_mem = os.environ.get(
+        "SPARK_DRIVER_MEM", f"{min(48, max(16, 3 * cores))}g"
+    )
+    if extra_conf and "spark.driver.memory" in extra_conf:
+        driver_mem = extra_conf["spark.driver.memory"]
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -40,7 +47,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Heap scales WITH the core budget (3 GB/core, capped at 48g —
+        # the cluster model: an executor's spark.executor.memory is
+        # provisioned per its cores, so a 4x-bigger cluster brings 4x
+        # the RAM).  A fixed-size heap makes small-core runs unfairly
+        # fast in N-vs-4N scaling comparisons: with 48g at both widths,
+        # local[8] ran with 4x the heap per core, so its young-GC
+        # frequency was 1/4 — measured as GC wall 24% of the 32-thread
+        # run vs 6.5% of the 8-thread run on identical work.  The cap
+        # matters as much as the scaling: an UNDERSIZED -Xms with a big
+        # -Xmx let the heap expand continuously under the 32-thread
+        # allocation rate, and first-touch page faults put the host at
+        # 63-77% KERNEL time during the extract phase (measured via
+        # top); -Xms=-Xmx below pins the heap so pages fault once.
+        .config("spark.driver.memory", driver_mem)
         # Throughput GC for the batch-shaped local JVM: an event-log
         # audit of a 32-thread crawl measured JVM GC at 17% of executor
         # run time under default G1 (pause-target-oriented) — at 4x the
@@ -55,7 +75,11 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_GC",
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores}",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} "
+                # -Xms = -Xmx: never expand the heap at runtime (see the
+                # driver.memory note — expansion page-faults measured as
+                # a 63-77% kernel-time storm at 32 threads)
+                f"-Xms{driver_mem}",
             ),
         )
         .config("spark.ui.enabled", "false")
