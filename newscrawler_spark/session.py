@@ -79,7 +79,17 @@ def get_spark(
                 # -Xms = -Xmx: never expand the heap at runtime (see the
                 # driver.memory note — expansion page-faults measured as
                 # a 63-77% kernel-time storm at 32 threads)
-                f"-Xms{driver_mem}",
+                f"-Xms{driver_mem} "
+                # AlwaysPreTouch: fault every heap page in at JVM start
+                # instead of on first allocation.  -Xms alone only
+                # RESERVES the range; first-touch faults still land in
+                # the middle of the 32-thread extract phase.  Measured
+                # A/B on the 400k-seed crawl (identical outputs):
+                # 218.6 s -> 158.8 s wall, steady 8,826 -> 11,901 urls/s.
+                # Alternatives measured WORSE on the same matrix:
+                # -Xmn8g 231 s (young too small at this alloc rate),
+                # G1+pretouch 192 s (pause-target GC taxes throughput).
+                "-XX:+AlwaysPreTouch",
             ),
         )
         .config("spark.ui.enabled", "false")
