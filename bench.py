@@ -479,6 +479,36 @@ def main() -> None:
             result["crawl_small"] = crawl_small
         except Exception as exc:  # noqa: BLE001
             result["scaling_error"] = f"{type(exc).__name__}: {exc}"
+        # hardware context for the ratio above: aggregate memcpy GB/s at
+        # the same pinned core counts (scripts/membw_probe.py).  On this
+        # single-socket box pure copy itself stops scaling well before
+        # 32 threads, so the crawl's N->4N efficiency is also reported
+        # normalized to the memcpy ceiling for the same pair — the
+        # engine-attributable share of the scaling loss.  Best-effort
+        # and cheap (~1 min); never loses the JSON line.
+        try:
+            import subprocess
+
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "membw_probe.py"),
+                    str(small_cores), str(cpus),
+                ],
+                capture_output=True, text=True, timeout=600,
+            )
+            bw = json.loads(proc.stdout.strip().splitlines()[-1])
+            result["membw_probe"] = bw
+            pair = f"{small_cores}->{cpus}"
+            hw_eff = bw.get("copy_scaling_efficiency", {}).get(pair)
+            if hw_eff and "scaling" in result:
+                result["scaling"]["memcpy_efficiency_same_pair"] = hw_eff
+                result["scaling"]["bandwidth_normalized_efficiency"] = round(
+                    result["scaling"]["efficiency"] / hw_eff, 3
+                )
+        except Exception as exc:  # noqa: BLE001
+            result["membw_probe_error"] = f"{type(exc).__name__}: {exc}"
     result["bench_wall_sec"] = round(time.time() - t_start, 2)
     print(json.dumps(result))
 
