@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "embed_neardup",
     "multimodal_decode",
+    "segment_dedup",
+    "pack_sequences",
+    "repetition_stats",
     "events_tumbling",
     "events_sessionize",
 ]

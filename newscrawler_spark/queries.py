@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .canonical import PLATFORMS, with_url_identity
 from .functions import textops as TX
 from .functions.markdown import render_markdown
+from .operators import corpusprep as CP
 from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import events as EV
@@ -1739,6 +1740,113 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus preparation (operators/corpusprep.py)
+# ---------------------------------------------------------------------------
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.segment_dedup(_doc(spark, sf_dir, "documents"))
+
+
+SQL_SEGMENT_DEDUP = rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+ix AS (SELECT doc_id, ws,
+              unnest(range(CAST(ceil(len(ws) / {CP.SEG_TOKENS}.0) AS BIGINT))) AS i
+       FROM wl),
+seg AS (SELECT doc_id, i::INT AS seg_idx,
+               array_to_string(ws[i*{CP.SEG_TOKENS}+1 : i*{CP.SEG_TOKENS}+{CP.SEG_TOKENS}], ' ') AS seg
+        FROM ix),
+k AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY {md5_64_sql('seg')}
+                                ORDER BY doc_id, seg_idx) = 1 AS kept
+      FROM seg)
+SELECT doc_id, count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS text_kept
+FROM k GROUP BY doc_id
+"""
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.domain_mix(_doc(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIX = f"""
+WITH r AS (SELECT source,
+                  ((1 + ({md5_64_sql('source')} % 4)) * {CP.MIX_SCALE // 4}) AS thr,
+                  ({md5_64_sql("source || ':' || doc_id::VARCHAR")} % {CP.MIX_SCALE}) AS pick
+           FROM documents)
+SELECT source, (thr / {float(CP.MIX_SCALE)}) AS weight,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN pick < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM r GROUP BY source, thr
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.pack_sequences(_doc(spark, sf_dir, "documents"))
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH t AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)::BIGINT AS token_start
+      FROM t)
+SELECT doc_id, n_tokens, token_start,
+       (token_start + n_tokens)::BIGINT AS token_end,
+       (token_start // {CP.SEQ_LEN})::BIGINT AS shard_start,
+       (CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // {CP.SEQ_LEN}
+             ELSE token_start // {CP.SEQ_LEN} END)::BIGINT AS shard_end
+FROM c
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.repetition_stats(_doc(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+u AS (SELECT doc_id, unnest(ws) AS g FROM wl),
+ucnt AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+ua AS (SELECT doc_id, max(c)::BIGINT AS mx_u, count(*)::BIGINT AS nd_u,
+              sum(c)::BIGINT AS n_tokens
+       FROM ucnt GROUP BY doc_id),
+b0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i FROM wl WHERE len(ws) >= 2),
+b AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS g FROM b0),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c)::BIGINT AS mx_b, sum(c)::BIGINT AS n_bi
+       FROM bcnt GROUP BY doc_id)
+SELECT ua.doc_id, ua.n_tokens,
+       round(ua.nd_u / ua.n_tokens, 6) AS distinct_ratio,
+       round(ua.mx_u / ua.n_tokens, 6) AS top_token_frac,
+       CASE WHEN coalesce(ba.n_bi, 0) > 0 THEN round(ba.mx_b / ba.n_bi, 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       ((round(ua.nd_u / ua.n_tokens, 6) < {CP.REP_DISTINCT_MIN})
+        OR (round(ua.mx_u / ua.n_tokens, 6) > {CP.REP_TOP_TOKEN_MAX})
+        OR ((CASE WHEN coalesce(ba.n_bi, 0) > 0 THEN round(ba.mx_b / ba.n_bi, 6)
+                  ELSE 0.0 END) > {CP.REP_TOP_BIGRAM_MAX})) AS flagged
+FROM ua LEFT JOIN ba USING (doc_id)
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.train_split(_doc(spark, sf_dir, "documents"))
+
+
+SQL_TRAIN_SPLIT = f"""
+WITH r AS (SELECT doc_id,
+                  ({md5_64_sql("'split:' || doc_id::VARCHAR")} % 100)::BIGINT AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1795,6 +1903,11 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "segment_dedup": q_segment_dedup,
+    "domain_mix": q_domain_mix,
+    "pack_sequences": q_pack_sequences,
+    "repetition_stats": q_repetition_stats,
+    "train_split": q_train_split,
     "search_sweep": q_search_sweep,
     "stream_metrics": q_stream_metrics,
     "stream_sessionize": q_stream_sessionize,
@@ -1842,6 +1955,11 @@ ORACLES: dict[str, str] = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
+    "domain_mix": SQL_DOMAIN_MIX,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "train_split": SQL_TRAIN_SPLIT,
     "search_sweep": SQL_SEARCH_SWEEP,
     "stream_metrics": SQL_STREAM_METRICS,
     # the drained AvailableNow result of the stateful sessionizer is

@@ -57,6 +57,10 @@ def main() -> None:
     from newscrawler_spark.session import get_spark
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("oracle-check", cores=cpus, shuffle_partitions=2 * cpus)
     con = duckdb.connect()
