@@ -121,6 +121,16 @@ def get_spark(
         # the scarce resource at high thread counts — memory bandwidth
         .config("spark.rdd.compress", "true")
     )
+    # benchmarking escape hatch: JSON dict of session confs applied
+    # before caller extras (callers stay authoritative) — lets A/B
+    # harnesses vary e.g. spark.io.compression.codec without plumbing
+    # parameters through every runner
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

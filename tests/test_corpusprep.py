@@ -118,6 +118,28 @@ def test_train_split_fractions_and_subset_stability(spark):
     assert all(full[i] == sub[i] for i in sub)
 
 
+def test_pack_sequences_plan_has_no_window(spark):
+    """The packed layout must come from the two-phase prefix sum, never
+    a global-ORDER-BY window (single-reducer at corpus scale)."""
+    rows = [(i, "s", "a b c") for i in range(10)]
+    plan = (
+        CP.pack_sequences(_docs(spark, rows), n_parts=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_repetition_plan_partial_counts(spark):
+    """Gram counting must partial-aggregate map-side so a looping doc's
+    hot gram collapses before the shuffle."""
+    rows = [(0, "a", "x y x y")]
+    plan = (
+        CP.repetition_stats(_docs(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan
+
+
 def test_segment_dedup_plan_has_partial_min(spark):
     """The owner aggregate must do map-side partial aggregation (the
     skew-immunity argument in the docstring): the physical plan carries
