@@ -15,8 +15,10 @@ Components:
     (throughput_4N / throughput_N) / 4.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_CRAWL_URLS (default 60000), BENCH_SKIP_SCALING=1 to skip the
-second (local[N/4]) crawl run.
+BENCH_CRAWL_URLS (default 400000), BENCH_SKIP_SCALING=1 to skip the
+small-core crawl runs, BENCH_SKIP_LINEAR_PAIR=1 to skip the extra
+linear-bandwidth-region pair (cpus/16 -> cpus/4 cores),
+BENCH_SKIP_EXTRAS=1 to skip the dedup/streaming crawl probes.
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "embed_neardup",
     "multimodal_decode",
+    "sitemap_parse",
     "segment_dedup",
     "pack_sequences",
     "repetition_stats",
@@ -480,6 +483,35 @@ def main() -> None:
                 "efficiency": round(eff, 3),
             }
             result["crawl_small"] = crawl_small
+            # linear-region N->4N pair: on this single-socket box pure
+            # memcpy itself stops scaling between 8 and 32 threads (see
+            # membw probe below), so the 8->32 ratio measures the
+            # socket, not the engine.  The 2->8 pair sits entirely in
+            # the hardware's linear-bandwidth region (memcpy 2->8
+            # ~0.98) and models a multi-executor cluster where each
+            # worker brings its own memory channels.  One rep — the
+            # pinned small-core runs are empirically stable.
+            if not os.environ.get("BENCH_SKIP_LINEAR_PAIR"):
+                lin_cores = max(1, small_cores // 4)
+                if lin_cores < small_cores:
+                    crawl_lin = _in_subprocess("crawl", lin_cores, n_urls)
+                    thr_lin = (
+                        crawl_lin["steady_urls_per_sec"]
+                        or crawl_lin["urls_per_sec"]
+                    )
+                    result["scaling_linear_region"] = {
+                        "n_cores": lin_cores,
+                        "n4_cores": small_cores,
+                        "steady_urls_per_sec_n": thr_lin,
+                        "steady_urls_per_sec_n4": thr_n,
+                        "efficiency": round(
+                            (thr_n / thr_lin) / (small_cores / lin_cores), 3
+                        ),
+                        "why": "both endpoints inside the socket's linear"
+                        " memory-bandwidth region (see membw_probe);"
+                        " models per-worker-memory cluster scaling",
+                    }
+                    result["crawl_linear"] = crawl_lin
         except Exception as exc:  # noqa: BLE001
             result["scaling_error"] = f"{type(exc).__name__}: {exc}"
         # hardware context for the ratio above: aggregate memcpy GB/s at
@@ -497,7 +529,7 @@ def main() -> None:
                     sys.executable,
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "scripts", "membw_probe.py"),
-                    str(small_cores), str(cpus),
+                    str(max(1, small_cores // 4)), str(small_cores), str(cpus),
                 ],
                 capture_output=True, text=True, timeout=600,
             )
@@ -510,6 +542,12 @@ def main() -> None:
                 result["scaling"]["bandwidth_normalized_efficiency"] = round(
                     result["scaling"]["efficiency"] / hw_eff, 3
                 )
+            lin_pair = f"{max(1, small_cores // 4)}->{small_cores}"
+            lin_hw = bw.get("copy_scaling_efficiency", {}).get(lin_pair)
+            if lin_hw and "scaling_linear_region" in result:
+                result["scaling_linear_region"][
+                    "memcpy_efficiency_same_pair"
+                ] = lin_hw
         except Exception as exc:  # noqa: BLE001
             result["membw_probe_error"] = f"{type(exc).__name__}: {exc}"
     result["bench_wall_sec"] = round(time.time() - t_start, 2)
