@@ -1260,6 +1260,204 @@ SQL_ROBOTS_RULES = _sql_robots_rules()
 
 
 # ---------------------------------------------------------------------------
+# Sitemap ingestion — robots.txt `Sitemap:` discovery + sitemap-XML parse
+# (sources/sitemaps.py).  The reference seeds from hard-coded entry URLs;
+# at web scale the sitemaps.org protocol is the discovery channel, so the
+# engine treats it as a first-class source.  Bodies are synthesized
+# deterministically from doc ids (same pattern as the robots queries);
+# the oracle derives the EXPECTED rows directly from the id arithmetic,
+# making each query a build→parse round-trip check.
+# ---------------------------------------------------------------------------
+
+SITEMAP_N_DOMAINS = 140
+_CHANGEFREQS = ("daily", "weekly", "monthly")
+
+
+def _sitemap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, xml) sitemap fetch results derived from doc ids.
+
+    Per domain did = doc_id % SITEMAP_N_DOMAINS:
+      * did % 7 == 1 → a non-sitemap HTML body (parse-quarantine path);
+      * did % 7 == 0 → a <sitemapindex> with (did % 3) + 1 entries;
+      * otherwise    → a <urlset> with (did % 9) + 1 <url> entries whose
+        lastmod / changefreq / priority tags are each present or absent
+        by modular arithmetic (so the NULL paths are exercised), and
+        whose <loc> carries padding whitespace (the parser must trim).
+    """
+    doms = (
+        _doc(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % SITEMAP_N_DOMAINS).cast("long").alias("did"))
+        .distinct()
+    )
+    did = F.col("did")
+    site = F.concat(F.lit("https://site-"), did.cast("string"), F.lit(".example"))
+    cf_arr = F.array(*[F.lit(c) for c in _CHANGEFREQS])
+
+    def url_entry(j):
+        m = did + j
+        day = (m % 28 + 1).cast("int")
+        lastmod = F.when(
+            m % 3 != 0,
+            F.concat(
+                F.lit("<lastmod>"),
+                F.format_string("2026-01-%02d", day),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        cf = F.when(
+            m % 4 != 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.element_at(cf_arr, (m % 3 + 1).cast("int")),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit(""))
+        pr = F.when(
+            m % 5 != 0,
+            F.concat(
+                F.lit("<priority>"),
+                ((m % 11) / 10.0).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit(""))
+        loc = F.concat(
+            F.lit("<loc> "),
+            site,
+            F.lit("/art/"),
+            did.cast("string"),
+            F.lit("/"),
+            j.cast("string"),
+            F.lit(" </loc>"),
+        )
+        return F.concat(F.lit("  <url>"), loc, lastmod, cf, pr, F.lit("</url>\n"))
+
+    def idx_entry(j):
+        day = ((did + j) % 28 + 1).cast("int")
+        return F.concat(
+            F.lit("  <sitemap><loc>"),
+            site,
+            F.lit("/sitemap-"),
+            j.cast("string"),
+            F.lit(".xml</loc><lastmod>"),
+            F.format_string("2026-02-%02d", day),
+            F.lit("</lastmod></sitemap>\n"),
+        )
+
+    urlset = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        ),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 9), url_entry), ""),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 3), idx_entry), ""),
+        F.lit("</sitemapindex>"),
+    )
+    bad = F.concat(
+        F.lit("<html><body>not a sitemap "), did.cast("string"), F.lit("</body></html>")
+    )
+    body = (
+        F.when(did % 7 == 1, bad).when(did % 7 == 0, index).otherwise(urlset)
+    )
+    return doms.select(
+        F.concat(site, F.lit("/sitemap.xml")).alias("url"), body.alias("xml")
+    )
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML → entries via from_xml (JVM StaxXmlParser, no UDF):
+    urlset leaves, sitemapindex hops, and quarantined non-sitemap rows
+    (sources/sitemaps.py::parse_sitemaps).  The oracle reconstructs the
+    expected entry set from the generator arithmetic — a full
+    build→parse round trip."""
+    from .sources.sitemaps import parse_sitemaps
+
+    return parse_sitemaps(_sitemap_pages(spark, sf_dir))
+
+
+SQL_SITEMAP_PARSE = f"""
+WITH doms AS (SELECT DISTINCT (doc_id % {SITEMAP_N_DOMAINS}) AS did FROM documents),
+uj AS (SELECT did, unnest(range((did % 9) + 1)) AS j FROM doms
+       WHERE did % 7 NOT IN (0, 1)),
+urls AS (
+  SELECT 'https://site-' || did || '.example/sitemap.xml' AS sitemap_url,
+         'url' AS kind,
+         'https://site-' || did || '.example/art/' || did || '/' || j AS loc,
+         CASE WHEN (did + j) % 3 <> 0
+              THEN '2026-01-' || lpad(((did + j) % 28 + 1)::VARCHAR, 2, '0') END
+           AS lastmod,
+         CASE WHEN (did + j) % 4 <> 0
+              THEN (['daily', 'weekly', 'monthly'])[((did + j) % 3 + 1)::INT] END
+           AS changefreq,
+         CASE WHEN (did + j) % 5 <> 0
+              THEN ((did + j) % 11) / 10.0 END AS priority
+  FROM uj),
+ij AS (SELECT did, unnest(range((did % 3) + 1)) AS j FROM doms WHERE did % 7 = 0),
+idx AS (
+  SELECT 'https://site-' || did || '.example/sitemap.xml' AS sitemap_url,
+         'sitemap' AS kind,
+         'https://site-' || did || '.example/sitemap-' || j || '.xml' AS loc,
+         '2026-02-' || lpad(((did + j) % 28 + 1)::VARCHAR, 2, '0') AS lastmod,
+         NULL::VARCHAR AS changefreq,
+         NULL::DOUBLE AS priority
+  FROM ij),
+bad AS (
+  SELECT 'https://site-' || did || '.example/sitemap.xml' AS sitemap_url,
+         'error' AS kind, NULL::VARCHAR AS loc, NULL::VARCHAR AS lastmod,
+         NULL::VARCHAR AS changefreq, NULL::DOUBLE AS priority
+  FROM doms WHERE did % 7 = 1)
+SELECT * FROM urls UNION ALL SELECT * FROM idx UNION ALL SELECT * FROM bad
+"""
+
+
+def _sitemap_robots_bodies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots_rules bodies plus appended `Sitemap:` lines: every
+    domain advertises one sitemap; every 4th also a mixed-case indexed
+    one with a trailing comment; every 5th a relative URL the parser
+    must drop (sitemaps must be absolute)."""
+    base = _robots_bodies(spark, sf_dir)
+    did = F.regexp_extract("domain", r"site-(\d+)\.example", 1).cast("long")
+    site = F.concat(F.lit("https://site-"), did.cast("string"), F.lit(".example"))
+    extra1 = F.when(
+        did % 4 == 0,
+        F.concat(F.lit("SiTeMaP:   "), site, F.lit("/news/sitemap-index.xml  # index\n")),
+    ).otherwise(F.lit(""))
+    extra2 = F.when(did % 5 == 0, F.lit("Sitemap: /relative-dropped.xml\n")).otherwise(
+        F.lit("")
+    )
+    return base.select(
+        "domain",
+        F.concat(
+            "body", F.lit("sitemap: "), site, F.lit("/sitemap.xml\n"), extra1, extra2
+        ).alias("body"),
+    )
+
+
+def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Sitemap:` line extraction from robots.txt bodies
+    (sources/sitemaps.py::sitemap_urls_from_robots — group-independent
+    per RFC 9309 §2.2.4, absolute-URL values only)."""
+    from .sources.sitemaps import sitemap_urls_from_robots
+
+    return sitemap_urls_from_robots(_sitemap_robots_bodies(spark, sf_dir))
+
+
+SQL_SITEMAP_DISCOVER = f"""
+WITH doms AS (SELECT DISTINCT (doc_id % {ROBOTS_N_DOMAINS}) AS did FROM documents)
+SELECT 'site-' || did || '.example' AS domain,
+       'https://site-' || did || '.example/sitemap.xml' AS sitemap_url
+FROM doms
+UNION ALL
+SELECT 'site-' || did || '.example',
+       'https://site-' || did || '.example/news/sitemap-index.xml'
+FROM doms WHERE did % 4 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
@@ -1893,6 +2091,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_pipeline": q_curate_pipeline,
     "robots_rules": q_robots_rules,
+    "sitemap_discover": q_sitemap_discover,
+    "sitemap_parse": q_sitemap_parse,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1945,6 +2145,8 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "curate_pipeline": SQL_CURATE_PIPELINE,
     "robots_rules": SQL_ROBOTS_RULES,
+    "sitemap_discover": SQL_SITEMAP_DISCOVER,
+    "sitemap_parse": SQL_SITEMAP_PARSE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
