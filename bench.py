@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "embed_neardup",
     "multimodal_decode",
     "sitemap_parse",
+    "host_rank",
+    "anchor_stats",
+    "trap_detect",
+    "recrawl_schedule",
     "segment_dedup",
     "pack_sequences",
     "repetition_stats",

@@ -34,6 +34,7 @@ from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import events as EV
 from .operators import similarity as SIM
+from .operators import webgraph as WG
 from .operators.multimodal import decode_media
 from .operators.scheduling import apply_robots, budget_gate, dedup_within_round
 from .operators.seen import build_bloom, filter_unseen
@@ -2045,6 +2046,197 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# Web-graph / revisit analytics (operators/webgraph.py)
+# ---------------------------------------------------------------------------
+# Shared derivation: a deterministic host-level link graph from the
+# documents table — src host = doc_id % 53, two out-edges per doc with
+# md5-derived destinations, anchor text = the doc's first two words.
+
+_N_HOSTS = 53
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _doc(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    e = d.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("j"))
+    return e.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % _N_HOSTS).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(
+            F.lit("h"),
+            (
+                md5_64(
+                    F.concat(
+                        F.lit("edge:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % _N_HOSTS
+            ).cast("string"),
+        ).alias("dst_host"),
+    )
+
+
+_SQL_EDGES_CTE = f"""
+e0 AS (SELECT doc_id, unnest([0, 1]) AS j FROM documents),
+e AS (SELECT 'h' || (doc_id % {_N_HOSTS})::VARCHAR AS src_host,
+             'h' || ({md5_64_sql("'edge:' || doc_id::VARCHAR || ':' || j::VARCHAR")}
+                     % {_N_HOSTS})::VARCHAR AS dst_host
+      FROM e0)
+"""
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return WG.host_rank(_doc_edges(spark, sf_dir))
+
+
+def _host_rank_sql() -> str:
+    scale = WG.RANK_SCALE
+    base = (100 - WG.RANK_DAMP_PCT) * scale // 100
+    d = WG.RANK_DAMP_PCT
+    its = []
+    prev = "r0"
+    for i in range(1, WG.RANK_ITERS + 1):
+        its.append(
+            f"""c{i} AS (SELECT e.dst_host AS host,
+             sum({prev}.rank // o.out_degree)::BIGINT AS incoming
+      FROM e JOIN {prev} ON e.src_host = {prev}.host
+             JOIN outdeg o ON e.src_host = o.host
+      GROUP BY 1),
+r{i} AS (SELECT n.host,
+             ({base} + ({d} * coalesce(c{i}.incoming, 0)) // 100)::BIGINT AS rank
+      FROM n LEFT JOIN c{i} USING (host))"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_SQL_EDGES_CTE.strip().rstrip(',')},
+nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e),
+outdeg AS (SELECT src_host AS host, count(*)::BIGINT AS out_degree
+           FROM e GROUP BY 1),
+n AS (SELECT nodes.host, coalesce(out_degree, 0)::BIGINT AS out_degree
+      FROM nodes LEFT JOIN outdeg USING (host)),
+r0 AS (SELECT host, {scale}::BIGINT AS rank FROM n),
+{", ".join(its)}
+SELECT n.host, n.out_degree, {prev}.rank,
+       round({prev}.rank / {float(scale)}, 6) AS rank_norm
+FROM n JOIN {prev} USING (host)
+"""
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    links = docs.select(
+        F.concat(
+            F.lit("h"),
+            (
+                md5_64(F.concat(F.lit("edge:"), F.col("doc_id").cast("string"), F.lit(":0")))
+                % _N_HOSTS
+            ).cast("string"),
+        ).alias("dst_host"),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 2), " ").alias(
+            "anchor"
+        ),
+    )
+    return WG.anchor_stats(links)
+
+
+SQL_ANCHOR_STATS = rf"""
+WITH l AS (SELECT 'h' || ({md5_64_sql("'edge:' || doc_id::VARCHAR || ':0'")}
+                          % {_N_HOSTS})::VARCHAR AS dst_host,
+                  array_to_string((string_split_regex(trim(text), '\s+'))[1:2], ' ')
+                      AS anchor
+           FROM documents),
+pa AS (SELECT dst_host, anchor, count(*)::BIGINT AS cnt FROM l GROUP BY 1, 2),
+top AS (SELECT dst_host, anchor, cnt,
+               row_number() OVER (PARTITION BY dst_host
+                                  ORDER BY cnt DESC, anchor DESC) AS rn
+        FROM pa),
+s AS (SELECT dst_host, sum(cnt)::BIGINT AS n_links, count(*)::BIGINT AS n_anchors
+      FROM pa GROUP BY 1)
+SELECT s.dst_host, s.n_links, s.n_anchors,
+       t.anchor AS top_anchor, t.cnt::BIGINT AS top_anchor_count
+FROM s JOIN top t USING (dst_host) WHERE t.rn = 1
+"""
+
+
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frontier = doc_frontier(spark, sf_dir).select(
+        "url", F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1).alias("domain")
+    )
+    return WG.trap_detect(frontier)
+
+
+def _trap_detect_sql() -> str:
+    return f"""
+WITH {_frontier_cte()},
+fr AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain
+       FROM frontier),
+parts AS (SELECT domain,
+                 regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''),
+                                '\\?.*$', '') AS path,
+                 CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_q
+          FROM fr),
+pp AS (SELECT domain, path, count(*)::BIGINT AS cnt, sum(has_q)::BIGINT AS q,
+              max(len(string_split(path, '/')) - 1)::BIGINT AS depth
+       FROM parts GROUP BY 1, 2),
+st AS (SELECT domain, sum(cnt)::BIGINT AS n_urls, sum(q)::BIGINT AS n_query,
+              count(*)::BIGINT AS n_paths, max(depth)::BIGINT AS max_depth
+       FROM pp GROUP BY 1)
+SELECT domain, n_urls, n_query,
+       round(n_query / n_urls, 6) AS query_ratio,
+       n_paths,
+       round(n_paths / n_urls, 6) AS distinct_path_ratio,
+       max_depth,
+       ((n_urls >= {WG.TRAP_MIN_URLS})
+        AND ((round(n_query / n_urls, 6) > {WG.TRAP_QUERY_MAX})
+             OR (round(n_paths / n_urls, 6) > {WG.TRAP_DISTINCT_MIN}))) AS flagged
+FROM st
+"""
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _doc(spark, sf_dir, "events")
+    visits = ev.select(
+        (F.col("event_id") % 997).cast("long").alias("url_id"),
+        F.unix_timestamp(F.col("ts")).alias("ts_epoch"),
+        F.col("event_type").alias("content_fp"),
+    )
+    return WG.recrawl_schedule(visits)
+
+
+def _recrawl_sql() -> str:
+    arms = " ".join(
+        f"WHEN change_ratio >= {lo} THEN {hours}" for lo, hours in WG.RECRAWL_BUCKETS
+    )
+    default = WG.RECRAWL_BUCKETS[-1][1]
+    return f"""
+WITH v AS (SELECT (event_id % 997)::BIGINT AS url_id,
+                  floor(epoch(ts))::BIGINT AS ts_epoch,
+                  event_type AS content_fp
+           FROM events),
+m AS (SELECT url_id, ts_epoch,
+             CASE WHEN lag(content_fp) OVER w IS NOT NULL
+                       AND content_fp <> lag(content_fp) OVER w
+                  THEN 1 ELSE 0 END AS changed
+      FROM v WINDOW w AS (PARTITION BY url_id ORDER BY ts_epoch, content_fp)),
+a AS (SELECT url_id, count(*)::BIGINT AS n_visits, sum(changed)::BIGINT AS n_changes,
+             max(ts_epoch)::BIGINT AS last_epoch
+      FROM m GROUP BY 1),
+r AS (SELECT url_id, n_visits, n_changes, last_epoch,
+             CASE WHEN n_visits > 1 THEN round(n_changes / (n_visits - 1), 6)
+                  ELSE 0.0 END AS change_ratio
+      FROM a),
+i AS (SELECT *, (CASE {arms} ELSE {default} END)::BIGINT AS interval_hours FROM r)
+SELECT url_id, n_visits, n_changes, change_ratio, interval_hours,
+       (last_epoch + interval_hours * 3600)::BIGINT AS next_fetch_epoch
+FROM i
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2108,6 +2300,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "train_split": q_train_split,
+    "host_rank": q_host_rank,
+    "anchor_stats": q_anchor_stats,
+    "trap_detect": q_trap_detect,
+    "recrawl_schedule": q_recrawl_schedule,
     "search_sweep": q_search_sweep,
     "stream_metrics": q_stream_metrics,
     "stream_sessionize": q_stream_sessionize,
@@ -2162,6 +2358,10 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "repetition_stats": SQL_REPETITION_STATS,
     "train_split": SQL_TRAIN_SPLIT,
+    "host_rank": _host_rank_sql(),
+    "anchor_stats": SQL_ANCHOR_STATS,
+    "trap_detect": _trap_detect_sql(),
+    "recrawl_schedule": _recrawl_sql(),
     "search_sweep": SQL_SEARCH_SWEEP,
     "stream_metrics": SQL_STREAM_METRICS,
     # the drained AvailableNow result of the stateful sessionizer is
