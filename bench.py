@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "sitemap_parse",
     "host_rank",
+    "rank_prioritize",
     "anchor_stats",
     "trap_detect",
     "recrawl_schedule",

@@ -139,6 +139,47 @@ def host_rank(
     )
 
 
+def rank_prioritize(
+    frontier: DataFrame,
+    host_ranks: DataFrame,
+    hi: int = 2 * RANK_SCALE,
+    lo: int = RANK_SCALE,
+) -> DataFrame:
+    """Centrality-aware frontier priority: refine each URL's existing
+    ``priority`` band with its host's rank tier, so within a band the
+    scheduler (RANK_ORDER sorts priority ASC first) visits central
+    hosts before the long tail.
+
+    Tiers use STATIC thresholds on the fixed-point rank — ``hi``
+    (≥ 2× average mass → tier 0), ``lo`` (≥ average → tier 1), else
+    tier 2; unranked hosts (not in the graph yet) get the middle tier 1
+    so cold-start hosts are neither starved nor favored.  Static
+    thresholds instead of quantiles keep this a pure join + expression:
+    no global sort, no driver collect, same answer at any parallelism.
+
+        new_priority = old_priority * 3 + tier
+
+    is monotone in the original priority (band order is preserved
+    exactly) and uses centrality only WITHIN a band.
+
+    Scale: host_ranks is host-level (3-4 orders smaller than the
+    frontier) — broadcast it when it fits, else a plain shuffle join on
+    ``domain``; downstream politeness/budget stages are unchanged.
+    """
+    ranks = host_ranks.select(F.col("host").alias("domain"), "rank")
+    tier = (
+        F.when(F.col("rank") >= F.lit(hi), F.lit(0))
+        .when(F.col("rank") >= F.lit(lo), F.lit(1))
+        .when(F.col("rank").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        frontier.join(ranks, "domain", "left")
+        .withColumn("priority", (F.col("priority") * 3 + tier).cast("int"))
+        .drop("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. Anchor-text aggregation per target host
 # ---------------------------------------------------------------------------

@@ -2125,6 +2125,35 @@ FROM n JOIN {prev} USING (host)
 """
 
 
+def q_rank_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % _N_HOSTS).cast("string")).alias(
+            "domain"
+        ),
+        (F.col("doc_id") % 3).cast("int").alias("priority"),
+    )
+    ranks = WG.host_rank(_doc_edges(spark, sf_dir))
+    return WG.rank_prioritize(frontier, ranks)
+
+
+def _rank_prioritize_sql() -> str:
+    hi, lo = 2 * WG.RANK_SCALE, WG.RANK_SCALE
+    return f"""
+WITH f AS (SELECT doc_id, 'h' || (doc_id % {_N_HOSTS})::VARCHAR AS domain,
+                  (doc_id % 3)::INT AS priority
+           FROM documents),
+hr AS (SELECT host, rank FROM ({_host_rank_sql()}) t)
+SELECT f.doc_id, f.domain,
+       (f.priority * 3 + CASE WHEN hr.rank >= {hi} THEN 0
+                              WHEN hr.rank >= {lo} THEN 1
+                              WHEN hr.rank IS NOT NULL THEN 2
+                              ELSE 1 END)::INT AS priority
+FROM f LEFT JOIN hr ON f.domain = hr.host
+"""
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc(spark, sf_dir, "documents")
     links = docs.select(
@@ -2301,6 +2330,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "train_split": q_train_split,
     "host_rank": q_host_rank,
+    "rank_prioritize": q_rank_prioritize,
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
@@ -2359,6 +2389,7 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "train_split": SQL_TRAIN_SPLIT,
     "host_rank": _host_rank_sql(),
+    "rank_prioritize": _rank_prioritize_sql(),
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),
     "recrawl_schedule": _recrawl_sql(),

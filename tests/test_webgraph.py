@@ -61,6 +61,26 @@ def test_host_rank_dangling_sink(spark):
     assert out["b"]["rank"] > out["a"]["rank"]  # b still accumulates from a
 
 
+def test_rank_prioritize_tiers_and_band_preservation(spark):
+    ranks = spark.createDataFrame(
+        [("big", 3 * WG.RANK_SCALE), ("mid", WG.RANK_SCALE), ("small", 1)],
+        "host string, rank long",
+    )
+    fr = spark.createDataFrame(
+        [(1, "big", 0), (2, "mid", 0), (3, "small", 0),
+         (4, "unranked", 0), (5, "small", 1)],
+        "doc_id long, domain string, priority int",
+    )
+    out = {r["doc_id"]: r["priority"] for r in
+           WG.rank_prioritize(fr, ranks).collect()}
+    assert out[1] == 0   # band 0, tier 0
+    assert out[2] == 1   # band 0, tier 1
+    assert out[3] == 2   # band 0, tier 2
+    assert out[4] == 1   # unranked -> middle tier
+    # band order preserved: every band-1 priority > every band-0 priority
+    assert out[5] == 5 and out[5] > max(out[1], out[2], out[3])
+
+
 # ---------------------------------------------------------------------------
 # anchor_stats
 # ---------------------------------------------------------------------------
