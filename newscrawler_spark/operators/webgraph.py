@@ -37,7 +37,7 @@ RANK_ITERS = 3          # fixed unrolled iterations (static plan depth)
 
 # --- trap_detect thresholds ---------------------------------------------------
 TRAP_QUERY_MAX = 0.50       # > half the domain's URLs carry a query string
-TRAP_DISTINCT_MIN = 0.999   # ~every URL is a never-repeating path
+TRAP_DEPTH_MAX = 12         # path depth beyond any sane article hierarchy
 TRAP_MIN_URLS = 100         # explosion needs volume; small hosts never flag
 
 # --- recrawl_schedule buckets -------------------------------------------------
@@ -227,17 +227,20 @@ def anchor_stats(links: DataFrame) -> DataFrame:
 def trap_detect(
     frontier: DataFrame,
     query_max: float = TRAP_QUERY_MAX,
-    distinct_min: float = TRAP_DISTINCT_MIN,
+    depth_max: int = TRAP_DEPTH_MAX,
     min_urls: int = TRAP_MIN_URLS,
 ) -> DataFrame:
     """Per-domain URL-shape statistics with an explosion flag.
 
     Calendars, session-id links, and faceted-search pages generate
-    unbounded URL spaces: every fetch discovers new never-repeating
-    URLs, usually query-string-heavy.  Signature: a domain with
-    ``n_urls >= min_urls`` whose query-string ratio exceeds
-    ``query_max`` OR whose distinct-path ratio exceeds ``distinct_min``
-    (no path ever repeats → nothing is an article hub).
+    unbounded URL spaces.  Flag signature: a domain with ``n_urls >=
+    min_urls`` whose query-string ratio exceeds ``query_max``
+    (session/facet spam) OR whose max path depth exceeds ``depth_max``
+    (recursive path traps).  A HIGH distinct-path ratio is deliberately
+    NOT a flag criterion — every article on a normal news site is a
+    unique path — but the ratio is reported, because its growth ACROSS
+    rounds (new URLs keep arriving, none ever repeats) is the signal a
+    multi-round controller should watch.
 
     Input: ``frontier(url, domain)``.  Output per domain: ``n_urls,
     n_query, query_ratio, n_paths, distinct_path_ratio, max_depth,
@@ -281,7 +284,7 @@ def trap_detect(
             (F.col("n_urls") >= F.lit(min_urls))
             & (
                 (query_ratio > F.lit(query_max))
-                | (distinct_ratio > F.lit(distinct_min))
+                | (F.col("max_depth") > F.lit(depth_max))
             )
         ).alias("flagged"),
     )

@@ -67,6 +67,11 @@ class RoundConfig:
     # docs than this are skipped, keeping the probe O(batch) even on
     # template-heavy corpora
     dedup_bucket_cap: int = 128
+    # opt-in crawl-trap guard (operators/webgraph.py::trap_detect):
+    # domains whose PRE-dedup URL shape this round matches the
+    # explosion signature are quarantined wholesale as `trap_denied`
+    trap_guard: bool = False
+    trap_min_urls: int = 100
 
 
 @dataclass
@@ -217,6 +222,20 @@ def run_round(
 
     # 1-2. identity + within-round dedup
     cand = with_url_identity(frontier)
+    # 2b. optional crawl-trap guard: URL-shape explosion stats are
+    # computed over the PRE-dedup candidates (the raw-URL volume IS the
+    # signal — 300 ?session= variants of one page collapse to a single
+    # canonical row right below); flagged domains are a tiny frame,
+    # broadcast against the post-gate candidates further down
+    trap_domains = None
+    if conf.trap_guard:
+        from ..operators.webgraph import trap_detect
+
+        trap_domains = (
+            trap_detect(cand.select("url", "domain"), min_urls=conf.trap_min_urls)
+            .filter(F.col("flagged"))
+            .select("domain")
+        )
     cand = dedup_within_round(cand)
     _m("identity+dedup")
 
@@ -242,6 +261,14 @@ def run_round(
 
     # 4. robots gate
     allowed, denied = apply_robots(new, robots)
+
+    # 4b. trap gate: quarantine the flagged domains' rows for this
+    # round (terminal, like robots denials — they enter the seen set so
+    # the trap's URL space is never re-scheduled)
+    trap_denied = None
+    if trap_domains is not None:
+        trap_denied = allowed.join(F.broadcast(trap_domains), "domain", "left_semi")
+        allowed = allowed.join(F.broadcast(trap_domains), "domain", "left_anti")
 
     # 5. budget gate → (eligible, deferred); ranked frame materialized
     eligible, deferred = budget_gate(allowed, budgets, persist_fn=_p)
@@ -423,6 +450,15 @@ def run_round(
             )
         )
     )
+    if trap_denied is not None:
+        round_log = round_log.unionByName(
+            _log_rows(
+                trap_denied,
+                _entry("seen", canonical=True, hash_bucket=True),
+                _entry("quarantine", url=True,
+                       error=F.lit("trap_denied"), attempt=F.lit(0)),
+            )
+        )
 
     # 10. next frontier = deferred ∪ discovered out-links
     discovered = (

@@ -2220,7 +2220,7 @@ SELECT domain, n_urls, n_query,
        max_depth,
        ((n_urls >= {WG.TRAP_MIN_URLS})
         AND ((round(n_query / n_urls, 6) > {WG.TRAP_QUERY_MAX})
-             OR (round(n_paths / n_urls, 6) > {WG.TRAP_DISTINCT_MIN}))) AS flagged
+             OR (max_depth > {WG.TRAP_DEPTH_MAX}))) AS flagged
 FROM st
 """
 

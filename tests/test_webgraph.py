@@ -125,8 +125,17 @@ def _urls(domain, n, query=False, same_path=False):
 
 
 def test_trap_detect_flags_explosion(spark):
+    deep = [
+        (f"https://deep.example/{'/'.join(['s'] * 15)}/p{i}", "deep.example")
+        for i in range(150)
+    ]
+    articles = [  # unique paths, no queries — a NORMAL news site
+        (f"https://news.example/story/{i}", "news.example") for i in range(200)
+    ]
     rows = (
-        _urls("trap.example", 200, query=True)        # every URL unique + query
+        _urls("trap.example", 200, query=True)        # query-string spam
+        + deep                                         # recursive path trap
+        + articles
         + _urls("hub.example", 200, same_path=True)    # one path repeated
         + _urls("tiny.example", 5, query=True)         # under min_urls
     )
@@ -134,7 +143,11 @@ def test_trap_detect_flags_explosion(spark):
     out = {r["domain"]: r for r in WG.trap_detect(fr).collect()}
     assert out["trap.example"]["flagged"] is True
     assert out["trap.example"]["query_ratio"] == 1.0
-    assert out["trap.example"]["distinct_path_ratio"] == 1.0
+    assert out["deep.example"]["flagged"] is True      # depth criterion
+    assert out["deep.example"]["max_depth"] == 16
+    # unique-path-per-article is NORMAL: must not flag
+    assert out["news.example"]["flagged"] is False
+    assert out["news.example"]["distinct_path_ratio"] == 1.0
     assert out["hub.example"]["flagged"] is False
     assert out["hub.example"]["n_paths"] == 1
     assert out["tiny.example"]["flagged"] is False  # volume guard
@@ -146,6 +159,53 @@ def test_trap_detect_depth(spark):
     )
     row = WG.trap_detect(fr).collect()[0]
     assert row["max_depth"] == 4  # /a/b/c/page
+
+
+def test_trap_guard_quarantines_in_crawl_round(spark):
+    """Opt-in enforcement: a query-spam domain in the frontier is
+    detected PRE-dedup and its rows quarantined as `trap_denied`
+    (terminal, enters the seen set); guard off = unchanged behavior."""
+    from newscrawler_spark.plans.crawl_round import RoundConfig, run_round
+    from newscrawler_spark.sources.fetch import FixtureFetcher
+    from newscrawler_spark.synth import (
+        synth_budgets, synth_frontier, synth_pages, synth_robots,
+    )
+
+    normal = synth_frontier(spark, 60)
+    trap = spark.createDataFrame(
+        [
+            (f"https://www.toutiao.com/article/7400000099/?session={i}",
+             "www.toutiao.com", 0, 0, 1000 + i, 0, 0, "trap-seed")
+            for i in range(300)
+        ],
+        normal.schema,
+    )
+    frontier = normal.unionByName(trap)
+    pages = synth_pages(spark, 400)
+    budgets = synth_budgets(spark, capacity_default=50)
+    robots = synth_robots(spark)
+
+    def run(trap_guard):
+        conf = RoundConfig(n_buckets=16, m_bits=1 << 16, n_partitions=8,
+                           trap_guard=trap_guard, trap_min_urls=100)
+        res = run_round(frontier, None, None, budgets, robots,
+                        FixtureFetcher(pages), 0, conf)
+        log = res.round_log
+        trapped = log.filter(
+            (F.col("kind") == "quarantine") & (F.col("error") == "trap_denied")
+        )
+        return trapped, res.docs
+
+    trapped_on, docs_on = run(True)
+    rows = trapped_on.collect()
+    assert len(rows) > 0
+    assert all("toutiao" in r["url"] for r in rows)
+    # no toutiao page was fetched/extracted under the guard
+    assert docs_on.filter(F.col("url").contains("toutiao")).count() == 0
+
+    trapped_off, docs_off = run(False)
+    assert trapped_off.count() == 0
+    assert docs_off.filter(F.col("url").contains("toutiao")).count() > 0
 
 
 # ---------------------------------------------------------------------------
