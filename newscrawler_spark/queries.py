@@ -34,6 +34,7 @@ from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import events as EV
 from .operators import similarity as SIM
+from .operators import tokenizer as BPE
 from .operators import webgraph as WG
 from .operators.multimodal import decode_media
 from .operators.scheduling import apply_robots, budget_gate, dedup_within_round
@@ -2266,6 +2267,98 @@ FROM i
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/tokenizer.py)
+# ---------------------------------------------------------------------------
+# The oracle re-learns the merges independently: a K-step unrolled CTE
+# chain (count pairs → deterministic argmax → literal sentinel replace)
+# over the same word-frequency collapse.  Chain shared by all three
+# BPE oracles; see operators/tokenizer.py for the sentinel scheme.
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = BPE.train_bpe(_doc(spark, sf_dir, "documents"))
+    return BPE.merges_df(spark, merges)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, state = BPE.train_bpe(_doc(spark, sf_dir, "documents"))
+    return BPE.bpe_vocab(state)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    _, state = BPE.train_bpe(docs)
+    return BPE.encode_docs(docs, state)
+
+
+def _bpe_chain(k: int = BPE.N_MERGES) -> str:
+    """The shared K-step merge-learning CTE chain; final word state is
+    CTE ``s{k}`` (word, freq, s)."""
+    parts = [rf"""wc AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents)
+  WHERE word <> '' AND regexp_matches(word, '{BPE.WORD_RE}')
+        AND NOT contains(word, '|')
+  GROUP BY word
+),
+s0 AS (SELECT word, freq,
+              '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+       FROM wc)"""]
+    for i in range(k):
+        parts.append(f"""y{i} AS (SELECT freq, string_split(trim(s, '|'), '||') AS syms FROM s{i}),
+p{i} AS (SELECT syms[i+1] AS lhs, syms[i+2] AS rhs, freq
+         FROM (SELECT syms, freq, unnest(range(len(syms) - 1)) AS i
+               FROM y{i} WHERE len(syms) >= 2)),
+b{i} AS (SELECT lhs, rhs, sum(freq)::BIGINT AS pair_count
+         FROM p{i} GROUP BY lhs, rhs
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+s{i + 1} AS (SELECT word, freq,
+             replace(s, '|' || b.lhs || '||' || b.rhs || '|',
+                        '|' || b.lhs || b.rhs || '|') AS s
+             FROM s{i}, b{i} AS b)""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_train(k: int = BPE.N_MERGES) -> str:
+    ranks = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return f"WITH {_bpe_chain(k)}\n{ranks}"
+
+
+def _sql_bpe_vocab(k: int = BPE.N_MERGES) -> str:
+    return f"""
+WITH {_bpe_chain(k)},
+fin AS (SELECT word, freq, string_split(trim(s, '|'), '||') AS syms FROM s{k}),
+tok AS (SELECT word, freq, unnest(syms) AS token FROM fin)
+SELECT token, sum(freq)::BIGINT AS token_count,
+       count(DISTINCT word)::BIGINT AS n_words
+FROM tok GROUP BY token
+"""
+
+
+def _sql_bpe_encode(k: int = BPE.N_MERGES) -> str:
+    return rf"""
+WITH {_bpe_chain(k)},
+enc AS (SELECT word,
+               len(string_split(trim(s, '|'), '||'))::BIGINT AS n_syms
+        FROM s{k}),
+dw AS (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\s+')) AS word
+       FROM documents),
+fw AS (SELECT doc_id, word FROM dw
+       WHERE word <> '' AND regexp_matches(word, '{BPE.WORD_RE}')
+             AND NOT contains(word, '|'))
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(n_syms)::BIGINT AS n_bpe_tokens
+FROM fw JOIN enc USING (word) GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2334,6 +2427,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
+    "bpe_train": q_bpe_train,
+    "bpe_vocab": q_bpe_vocab,
+    "bpe_encode": q_bpe_encode,
     "search_sweep": q_search_sweep,
     "stream_metrics": q_stream_metrics,
     "stream_sessionize": q_stream_sessionize,
@@ -2393,6 +2489,9 @@ ORACLES: dict[str, str] = {
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),
     "recrawl_schedule": _recrawl_sql(),
+    "bpe_train": _sql_bpe_train(),
+    "bpe_vocab": _sql_bpe_vocab(),
+    "bpe_encode": _sql_bpe_encode(),
     "search_sweep": SQL_SEARCH_SWEEP,
     "stream_metrics": SQL_STREAM_METRICS,
     # the drained AvailableNow result of the stateful sessionizer is
