@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "embed_neardup",
     "multimodal_decode",
     "sitemap_parse",
+    "bpe_train",
     "host_rank",
     "rank_prioritize",
     "anchor_stats",
