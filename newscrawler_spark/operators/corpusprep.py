@@ -308,3 +308,87 @@ def train_split(docs: DataFrame) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Domain-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 2    # a template must recur in at least this many docs
+BOILER_FRAC_NUM = 1    # ... and in >= NUM/DEN of the domain's documents
+BOILER_FRAC_DEN = 25   # (integer-rational threshold: exact on both engines)
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    seg_tokens: int = SEG_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+    frac_num: int = BOILER_FRAC_NUM,
+    frac_den: int = BOILER_FRAC_DEN,
+) -> DataFrame:
+    """Strip per-domain template segments — cookie banners, nav menus,
+    footer blurbs — that extraction let through: any segment recurring
+    in >= max(min_docs, frac of the domain's docs) DISTINCT documents
+    of the same ``source`` is dropped from ALL of them (unlike
+    segment_dedup's first-occurrence-wins, boilerplate keeps zero
+    copies).  The C4/Gopher pipelines apply exactly this class of
+    domain-scoped line/paragraph removal before training.
+
+    Scale shape at 100 TB:
+      * segments travel the shuffle as md5_64 hashes, never raw text;
+      * the df count is distinct-(doc)-per-(source, seg-hash) — two
+        map-side-combined aggregates, skew-immune (a banner repeated
+        10^9 times collapses per map task);
+      * per-source doc totals (|sources| rows) broadcast to the
+        threshold filter; the boilerplate set joins back on
+        (source, hash) — equi-join, AQE broadcasts it when small;
+      * the threshold is integer arithmetic (seg_df * den >= num *
+        n_docs), never a float multiply, so any cluster size and the
+        DuckDB oracle agree exactly.
+
+    Output: (doc_id, source, n_segments, n_boiler, text_clean) with
+    surviving segments rejoined in document order.
+    """
+    ws = _words()
+    n_seg = F.ceil(F.size(ws) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(ws, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    ex = docs.select(
+        "doc_id", "source", F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("sh", md5_64("seg"))
+
+    seg_df = (
+        ex.select("source", "sh", "doc_id")
+        .distinct()
+        .groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        seg_df.join(F.broadcast(n_docs), "source")
+        .filter(
+            (F.col("seg_df") >= min_docs)
+            & (F.col("seg_df") * F.lit(frac_den) >= F.lit(frac_num) * F.col("n_docs"))
+        )
+        .select("source", "sh", F.lit(True).alias("boiler"))
+    )
+    marked = ex.join(boiler, ["source", "sh"], "left").withColumn(
+        "boiler", F.coalesce(F.col("boiler"), F.lit(False))
+    )
+    return marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("boiler").cast("long")).cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

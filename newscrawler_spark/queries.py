@@ -33,6 +33,7 @@ from .operators import corpusprep as CP
 from .operators import curation as CUR
 from .operators import dedup as DD
 from .operators import events as EV
+from .operators import postings as PT
 from .operators import similarity as SIM
 from .operators import tokenizer as BPE
 from .operators import webgraph as WG
@@ -2267,6 +2268,64 @@ FROM i
 
 
 # ---------------------------------------------------------------------------
+# Inverted index (operators/postings.py) + boilerplate (corpusprep)
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PT.inverted_index(_doc(spark, sf_dir, "documents"))
+
+
+SQL_INVERTED_INDEX = rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS token FROM wl),
+t AS (SELECT token, doc_id, count(*)::BIGINT AS tf
+      FROM w WHERE token <> '' GROUP BY 1, 2),
+tot AS (SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total
+        FROM t GROUP BY 1),
+r AS (SELECT token, doc_id, tf,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM t)
+SELECT token, df, tf_total, rk::INT AS rank, doc_id, tf
+FROM r JOIN tot USING (token) WHERE rk <= {PT.TOP_K}
+"""
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.strip_boilerplate(_doc(spark, sf_dir, "documents"))
+
+
+SQL_BOILERPLATE_STRIP = rf"""
+WITH wl AS (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+ix AS (SELECT doc_id, source, ws,
+              unnest(range(CAST(ceil(len(ws) / {CP.SEG_TOKENS}.0) AS BIGINT))) AS i
+       FROM wl),
+seg AS (SELECT doc_id, source, i::INT AS seg_idx,
+               array_to_string(ws[i*{CP.SEG_TOKENS}+1 : i*{CP.SEG_TOKENS}+{CP.SEG_TOKENS}], ' ') AS seg
+        FROM ix),
+sh AS (SELECT *, {md5_64_sql('seg')} AS h FROM seg),
+sdf AS (SELECT source, h, count(DISTINCT doc_id)::BIGINT AS seg_df
+        FROM sh GROUP BY 1, 2),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+b AS (SELECT source, h FROM sdf JOIN nd USING (source)
+      WHERE seg_df >= {CP.BOILER_MIN_DOCS}
+        AND seg_df * {CP.BOILER_FRAC_DEN} >= {CP.BOILER_FRAC_NUM} * n_docs),
+m AS (SELECT s.doc_id, s.source, s.seg_idx, s.seg,
+             (b.h IS NOT NULL) AS boiler
+      FROM sh s LEFT JOIN b ON s.source = b.source AND s.h = b.h)
+SELECT doc_id, source, count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT boiler),
+                '') AS text_clean
+FROM m GROUP BY doc_id, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/tokenizer.py)
 # ---------------------------------------------------------------------------
 # The oracle re-learns the merges independently: a K-step unrolled CTE
@@ -2427,6 +2486,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
     "recrawl_schedule": q_recrawl_schedule,
+    "inverted_index": q_inverted_index,
+    "boilerplate_strip": q_boilerplate_strip,
     "bpe_train": q_bpe_train,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
@@ -2489,6 +2550,8 @@ ORACLES: dict[str, str] = {
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),
     "recrawl_schedule": _recrawl_sql(),
+    "inverted_index": SQL_INVERTED_INDEX,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "bpe_train": _sql_bpe_train(),
     "bpe_vocab": _sql_bpe_vocab(),
     "bpe_encode": _sql_bpe_encode(),
