@@ -35,6 +35,7 @@ from .operators import dedup as DD
 from .operators import events as EV
 from .operators import postings as PT
 from .operators import similarity as SIM
+from .operators import sketches as SK
 from .operators import tokenizer as BPE
 from .operators import webgraph as WG
 from .operators.multimodal import decode_media
@@ -2326,6 +2327,66 @@ FROM m GROUP BY doc_id, source
 
 
 # ---------------------------------------------------------------------------
+# Sketches (operators/sketches.py): count-min + HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.cms_estimate(_doc(spark, sf_dir, "documents"))
+
+
+def _sql_cms_counts() -> str:
+    cell = "(" + md5_64_sql("'cms' || r::VARCHAR || ':' || token") + f" % {SK.CMS_W})"
+    return rf"""
+WITH wl AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+t AS (SELECT token FROM (SELECT unnest(ws) AS token FROM wl) WHERE token <> ''),
+tc AS (SELECT unnest(range({SK.CMS_D})) AS r, token FROM t),
+sketch AS (SELECT r, {cell} AS cell, count(*)::BIGINT AS cell_count
+           FROM tc GROUP BY 1, 2),
+truth AS (SELECT token, count(*)::BIGINT AS true_count FROM t GROUP BY token),
+pr AS (SELECT token, true_count FROM truth
+       WHERE {md5_64_sql('token')} % {SK.CMS_PROBE_MOD} = 0),
+pc AS (SELECT token, true_count, r, {cell} AS cell
+       FROM (SELECT token, true_count, unnest(range({SK.CMS_D})) AS r FROM pr))
+SELECT token, true_count, min(cell_count)::BIGINT AS cms_est
+FROM pc JOIN sketch USING (r, cell) GROUP BY token, true_count
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.hll_distinct(_doc(spark, sf_dir, "documents"))
+
+
+def _sql_hll_distinct() -> str:
+    num = float(SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * float(2**62))
+    return rf"""
+WITH wl AS (SELECT source, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+w AS (SELECT DISTINCT source, token
+      FROM (SELECT source, unnest(ws) AS token FROM wl) WHERE token <> ''),
+h AS (SELECT source, {md5_64_sql('token')} AS h FROM w),
+rk AS (SELECT source, (h % {SK.HLL_M})::INT AS reg,
+              CASE WHEN (h >> 6) = 0 THEN {SK.HLL_RANK_CAP}
+                   ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rank
+       FROM h),
+regs AS (SELECT source, reg, max(rank) AS m_j FROM rk GROUP BY 1, 2),
+grid AS (SELECT source, unnest(range({SK.HLL_M}))::INT AS reg
+         FROM (SELECT DISTINCT source FROM documents)),
+f AS (SELECT grid.source, coalesce(g.m_j, 0) AS m_j
+      FROM grid LEFT JOIN regs g
+        ON g.source = grid.source AND g.reg = grid.reg),
+est AS (SELECT source,
+               sum(CASE WHEN m_j > 0 THEN 1 ELSE 0 END)::BIGINT AS registers_hit,
+               round({num!r} / (sum(((1::BIGINT) << (62 - m_j))::HUGEINT)::DOUBLE),
+                     4) AS hll_estimate
+        FROM f GROUP BY source),
+ex AS (SELECT source, count(*)::BIGINT AS exact_distinct FROM w GROUP BY source)
+SELECT source, registers_hit, exact_distinct, hll_estimate
+FROM est JOIN ex USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/tokenizer.py)
 # ---------------------------------------------------------------------------
 # The oracle re-learns the merges independently: a K-step unrolled CTE
@@ -2488,6 +2549,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "inverted_index": q_inverted_index,
     "boilerplate_strip": q_boilerplate_strip,
+    "cms_counts": q_cms_counts,
+    "hll_distinct": q_hll_distinct,
     "bpe_train": q_bpe_train,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
@@ -2552,6 +2615,8 @@ ORACLES: dict[str, str] = {
     "recrawl_schedule": _recrawl_sql(),
     "inverted_index": SQL_INVERTED_INDEX,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "cms_counts": _sql_cms_counts(),
+    "hll_distinct": _sql_hll_distinct(),
     "bpe_train": _sql_bpe_train(),
     "bpe_vocab": _sql_bpe_vocab(),
     "bpe_encode": _sql_bpe_encode(),
