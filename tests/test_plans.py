@@ -301,3 +301,57 @@ def test_local_bloom_bitsets_match_distributed(spark, tmp_path):
     for b in dist:
         assert local[b][0] == dist[b][0], f"bitset differs for bucket {b}"
         assert local[b][1] == dist[b][1]
+
+
+# ---------------------------------------------------------------------------
+# Late-round operators: plan shapes that matter at 100 TB
+# ---------------------------------------------------------------------------
+
+def _docs_df(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"src{i % 4}", " ".join(f"w{(i * 13 + j) % 40}" for j in range(24)))
+         for i in range(n)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+
+
+def test_inverted_index_plan_group_limits_no_cartesian(spark):
+    """Both window stages must carry WindowGroupLimit (rank pushdown
+    below the sort — Spark's map-side top-K), and nothing may
+    cartesian."""
+    from newscrawler_spark.operators.postings import inverted_index
+
+    plan = _plan(inverted_index(_docs_df(spark)))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The d x w sketch is constant-size: the probe join must broadcast
+    it, never shuffle the probe side against it."""
+    from newscrawler_spark.operators.sketches import cms_estimate
+
+    plan = _plan(cms_estimate(_docs_df(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_plan_aggregates_with_partial(spark):
+    """Register table is a plain two-phase hash aggregate (map-side
+    combine) — no window, no cartesian grid join."""
+    from newscrawler_spark.operators.sketches import hll_distinct
+
+    plan = _plan(hll_distinct(_docs_df(spark)))
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_boilerplate_broadcasts_doc_totals(spark):
+    """The per-source doc-total side (|sources| rows, explicitly
+    broadcast) must reach the threshold filter as a broadcast join; the
+    boiler-set join is deliberately left to AQE statistics (it can
+    outgrow broadcast at web scale).  Nothing may cartesian."""
+    from newscrawler_spark.operators.corpusprep import strip_boilerplate
+
+    plan = _plan(strip_boilerplate(_docs_df(spark)))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
