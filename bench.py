@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "segment_dedup",
     "pack_sequences",
     "repetition_stats",
+    "bm25_topk",
+    "tfidf_terms",
+    "lm_perplexity",
+    "hashed_classifier",
+    "sample_stratified",
+    "sample_balanced",
+    "shuffle_shards",
     "events_tumbling",
     "events_sessionize",
 ]

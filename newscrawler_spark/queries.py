@@ -29,11 +29,15 @@ from pyspark.sql import functions as F
 from .canonical import PLATFORMS, with_url_identity
 from .functions import textops as TX
 from .functions.markdown import render_markdown
+from .operators import classify as CLS
 from .operators import corpusprep as CP
 from .operators import curation as CUR
+from .operators import lmscore as LM
 from .operators import dedup as DD
 from .operators import events as EV
 from .operators import postings as PT
+from .operators import retrieval as RET
+from .operators import sampling as SMP
 from .operators import similarity as SIM
 from .operators import sketches as SK
 from .operators import tokenizer as BPE
@@ -2479,6 +2483,256 @@ FROM fw JOIN enc USING (word) GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Ranked retrieval (operators/retrieval.py): BM25 + TF-IDF profiles
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE: tokens with their ORIGINAL split positions, empties
+# filtered after indexing — exactly Spark's posexplode→filter, so
+# adjacency (for the LM bigrams) breaks at empty tokens identically.
+
+_SQL_TOKENS_INDEXED = r"""
+wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+       FROM documents),
+t AS (SELECT doc_id, i, ws[i+1] AS token
+      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM wl)
+      WHERE ws[i+1] <> '')"""
+
+
+def _bm25_demo_terms(docs: DataFrame) -> DataFrame:
+    """Demo query set: top-8 tokens by (df DESC, token ASC), two terms
+    per query → query_ids 0..3.  The single-partition window is over
+    |vocab| rows of (token, df) — query derivation is harness plumbing,
+    not the scored path (production supplies its own query table)."""
+    from pyspark.sql import Window
+
+    tf, _ = RET.corpus_stats(docs)
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (
+        df_tbl.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 8)
+        .select(
+            F.floor((F.col("r") - 1) / 2).cast("int").alias("query_id"), "token"
+        )
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    return RET.bm25_topk(docs, _bm25_demo_terms(docs))
+
+
+SQL_BM25_TOPK = rf"""
+WITH {_SQL_TOKENS_INDEXED},
+tf AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n FROM documents),
+sd AS (SELECT sum(dl)::BIGINT AS sum_dl FROM dl),
+dfb AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qt AS (SELECT ((r - 1) // 2)::INT AS query_id, token
+       FROM (SELECT token,
+                    row_number() OVER (ORDER BY df DESC, token) AS r
+             FROM dfb)
+       WHERE r <= 8),
+s AS (SELECT q.query_id, f.doc_id,
+             round(ln(1.0::DOUBLE + ((n - df)::DOUBLE + 0.5::DOUBLE)
+                                    / (df::DOUBLE + 0.5::DOUBLE))
+                   * (f.tf * {RET.K1 + 1.0!r}::DOUBLE)
+                   / (f.tf + {RET.K1!r}::DOUBLE
+                      * ({1.0 - RET.B!r}::DOUBLE
+                         + {RET.B!r}::DOUBLE * dl / (sum_dl / n)))
+                   * {RET.SCORE_SCALE}, 0)::BIGINT AS part
+      FROM tf f
+      JOIN dfb USING (token)
+      JOIN qt q USING (token)
+      JOIN dl USING (doc_id), nt, sd),
+pd AS (SELECT query_id, doc_id, sum(part)::BIGINT AS score_scaled,
+              count(*)::BIGINT AS n_terms
+       FROM s GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, n_terms, score_scaled,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_scaled DESC, doc_id))::INT AS rank
+      FROM pd)
+SELECT query_id, doc_id, rank, n_terms,
+       score_scaled / {RET.SCORE_SCALE}.0 AS score
+FROM r WHERE rank <= {RET.TOP_K}
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RET.tfidf_top_terms(_doc(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TERMS = rf"""
+WITH {_SQL_TOKENS_INDEXED},
+tf AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+nt AS (SELECT count(*)::BIGINT AS n FROM documents),
+dfb AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (SELECT f.doc_id, f.token, f.tf, df,
+             f.tf * (round(ln(n / df) * {RET.SCORE_SCALE}, 0)::BIGINT) AS w_scaled
+      FROM tf f JOIN dfb USING (token), nt),
+r AS (SELECT doc_id, token, tf, df, w_scaled,
+             (row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w_scaled DESC, token))::INT AS rank
+      FROM s)
+SELECT doc_id, rank, token, tf, df,
+       w_scaled / {RET.SCORE_SCALE}.0 AS tfidf
+FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM scoring (operators/lmscore.py)
+# ---------------------------------------------------------------------------
+
+_SQL_LM_MODEL = rf"""
+bg AS (SELECT p.token AS w1, c.token AS w2, count(*)::BIGINT AS c2
+       FROM t p JOIN t c ON p.doc_id = c.doc_id AND c.i = p.i + 1
+       GROUP BY 1, 2),
+uni AS (SELECT token, count(*)::BIGINT AS c1 FROM t GROUP BY 1)"""
+
+
+def q_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LM.lm_bigram_table(_doc(spark, sf_dir, "documents"))
+
+
+SQL_LM_BIGRAMS = rf"""
+WITH {_SQL_TOKENS_INDEXED},
+{_SQL_LM_MODEL}
+SELECT w1, w2, c2, c1 AS c1_w1 FROM bg JOIN uni ON uni.token = bg.w1
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LM.lm_perplexity(_doc(spark, sf_dir, "documents"))
+
+
+def _sql_lm_perplexity() -> str:
+    import math
+
+    log_alpha = math.log(LM.ALPHA)
+    return rf"""
+WITH {_SQL_TOKENS_INDEXED},
+{_SQL_LM_MODEL},
+tot AS (SELECT sum(c1)::BIGINT AS t_total FROM uni),
+seq AS (SELECT c.doc_id, c.i, c.token, p.token AS prev_token
+        FROM t c LEFT JOIN t p ON p.doc_id = c.doc_id AND p.i = c.i - 1),
+j AS (SELECT s.doc_id, s.token, s.prev_token,
+             cu.c1 AS c1_cur, pu.c1 AS c1_prev, b.c2 AS c2_pair, t_total
+      FROM seq s
+      JOIN uni cu ON cu.token = s.token
+      LEFT JOIN uni pu ON pu.token = s.prev_token
+      LEFT JOIN bg b ON b.w1 = s.prev_token AND b.w2 = s.token, tot),
+l AS (SELECT doc_id,
+             CASE WHEN prev_token IS NULL THEN ln(c1_cur / t_total)
+                  WHEN c2_pair IS NOT NULL THEN ln(c2_pair / c1_prev)
+                  ELSE ({log_alpha!r}::DOUBLE) + ln(c1_cur / t_total)
+             END AS logp,
+             CASE WHEN prev_token IS NOT NULL AND c2_pair IS NULL
+                  THEN 1 ELSE 0 END AS backoff
+      FROM j),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(backoff)::BIGINT AS n_backoff,
+              sum(round(logp * {LM.LOGP_SCALE}, 0)::BIGINT)::BIGINT
+                AS logprob_scaled
+       FROM l GROUP BY 1)
+SELECT doc_id, n_tokens, n_backoff, logprob_scaled,
+       round(exp(-logprob_scaled / {LM.LOGP_SCALE}.0 / n_tokens), 4) AS ppl
+FROM pd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier (operators/classify.py)
+# ---------------------------------------------------------------------------
+
+
+def q_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = CLS.hashed_weights(spark.range(CLS.N_BUCKETS))
+    return CLS.classify_docs(_doc(spark, sf_dir, "documents"), weights)
+
+
+def _sql_hashed_classifier() -> str:
+    half = (CLS.W_SPAN - 1) // 2
+    return rf"""
+WITH {_SQL_TOKENS_INDEXED},
+wt AS (SELECT r::INT AS bucket,
+              ({md5_64_sql("'w:' || r::VARCHAR")} % {CLS.W_SPAN}
+               - {half})::BIGINT AS w_milli
+       FROM (SELECT unnest(range({CLS.N_BUCKETS})) AS r)),
+tb AS (SELECT doc_id,
+              ({md5_64_sql("'f:' || token")} % {CLS.N_BUCKETS})::INT AS bucket
+       FROM t),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(w_milli)::BIGINT AS score_milli_sum
+       FROM tb JOIN wt USING (bucket) GROUP BY 1)
+SELECT doc_id, n_tokens, score_milli_sum,
+       score_milli_sum / (n_tokens * 1000.0::DOUBLE) AS score,
+       (score_milli_sum > {CLS.THRESHOLD_MILLI} * n_tokens) AS label
+FROM pd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampling + shard layout (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _doc(spark, sf_dir, "documents")
+    return SMP.sample_stratified(docs, SMP.stratified_rates(docs))
+
+
+SQL_SAMPLE_STRATIFIED = rf"""
+WITH r AS (SELECT source AS stratum,
+                  (500 + {md5_64_sql("'rate:' || source")} % 9000)::INT AS rate_bp
+           FROM (SELECT DISTINCT source FROM documents)),
+s AS (SELECT doc_id, source AS stratum,
+             ({md5_64_sql("'smp:' || doc_id::VARCHAR")} % {SMP.RATE_DENOM})::INT
+               AS bucket
+      FROM documents)
+SELECT doc_id, s.stratum, rate_bp, bucket
+FROM s JOIN r ON s.stratum = r.stratum
+WHERE bucket < rate_bp
+"""
+
+SAMPLE_BALANCED_K = 10
+
+
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SMP.sample_balanced(
+        _doc(spark, sf_dir, "documents"), k=SAMPLE_BALANCED_K
+    )
+
+
+SQL_SAMPLE_BALANCED = rf"""
+SELECT doc_id, stratum, draw_rank FROM (
+  SELECT doc_id, source AS stratum,
+         (row_number() OVER (
+            PARTITION BY source
+            ORDER BY {md5_64_sql("'bal:' || doc_id::VARCHAR")}, doc_id))::INT
+           AS draw_rank
+  FROM documents)
+WHERE draw_rank <= {SAMPLE_BALANCED_K}
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SMP.shuffle_shards(_doc(spark, sf_dir, "documents"))
+
+
+SQL_SHUFFLE_SHARDS = rf"""
+WITH s AS (SELECT doc_id,
+                  ({md5_64_sql("'shard:' || doc_id::VARCHAR")}
+                   % {SMP.N_SHARDS})::INT AS shard,
+                  {md5_64_sql("'pos:' || doc_id::VARCHAR")} AS ph
+           FROM documents)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id))::INT AS pos
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2554,6 +2808,14 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_terms": q_tfidf_terms,
+    "lm_bigrams": q_lm_bigrams,
+    "lm_perplexity": q_lm_perplexity,
+    "hashed_classifier": q_hashed_classifier,
+    "sample_stratified": q_sample_stratified,
+    "sample_balanced": q_sample_balanced,
+    "shuffle_shards": q_shuffle_shards,
     "search_sweep": q_search_sweep,
     "stream_metrics": q_stream_metrics,
     "stream_sessionize": q_stream_sessionize,
@@ -2620,6 +2882,14 @@ ORACLES: dict[str, str] = {
     "bpe_train": _sql_bpe_train(),
     "bpe_vocab": _sql_bpe_vocab(),
     "bpe_encode": _sql_bpe_encode(),
+    "bm25_topk": SQL_BM25_TOPK,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "lm_bigrams": SQL_LM_BIGRAMS,
+    "lm_perplexity": _sql_lm_perplexity(),
+    "hashed_classifier": _sql_hashed_classifier(),
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_balanced": SQL_SAMPLE_BALANCED,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "search_sweep": SQL_SEARCH_SWEEP,
     "stream_metrics": SQL_STREAM_METRICS,
     # the drained AvailableNow result of the stateful sessionizer is
