@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "lm_perplexity",
     "hashed_classifier",
+    "kmeans_assign",
+    "semdedup",
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",

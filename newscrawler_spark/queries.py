@@ -30,6 +30,7 @@ from .canonical import PLATFORMS, with_url_identity
 from .functions import textops as TX
 from .functions.markdown import render_markdown
 from .operators import classify as CLS
+from .operators import clustering as CLU
 from .operators import corpusprep as CP
 from .operators import curation as CUR
 from .operators import lmscore as LM
@@ -2673,6 +2674,94 @@ FROM pd
 
 
 # ---------------------------------------------------------------------------
+# Embedding k-means + SemDeDup (operators/clustering.py)
+# ---------------------------------------------------------------------------
+# The oracle re-runs Lloyd's iterations as an unrolled CTE chain over
+# the same md5-derived literal init centroids; distances are the shared
+# sequential-fold recipe, centroid updates exact-integer divisions, so
+# assignment matches bit-for-bit.
+
+KM_DIM = 64
+
+
+def _sql_kmeans_chain(
+    dim: int = KM_DIM,
+    k: int = CLU.K,
+    iters: int = CLU.ITERS,
+    seed: int = CLU.SEED,
+) -> str:
+    cents = CLU.init_centroids(dim, k, seed)
+    c0_rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cen)}]::DOUBLE[])"
+        for cid, cen in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2.0::DOUBLE * list_dot_product(v, cen)"
+        " + list_dot_product(cen, cen)"
+    )
+    parts = [
+        f"c0 AS (SELECT * FROM (VALUES {c0_rows}) t(cid, cen))",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM (SELECT vec_id, v, cid, {d2} AS d2 FROM v, c{i})),
+m{i} AS (SELECT cid, d, sum(round(v[d+1] * {CLU.Q_SCALE}, 0)::BIGINT)::BIGINT AS s,
+                count(*)::BIGINT AS n
+         FROM (SELECT cid, v, unnest(range(len(v))) AS d
+               FROM a{i} WHERE rn = 1)
+         GROUP BY 1, 2),
+u{i} AS (SELECT cid, list(s / (n * {CLU.Q_SCALE}.0) ORDER BY d) AS cen
+         FROM m{i} GROUP BY cid),
+c{i + 1} AS (SELECT cid, cen FROM u{i}
+             UNION ALL
+             SELECT cid, cen FROM c{i}
+             WHERE cid NOT IN (SELECT cid FROM u{i}))"""
+        )
+    parts.append(
+        f"""fd AS (SELECT vec_id, v, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM (SELECT vec_id, v, cid, {d2} AS d2 FROM v, c{iters}))"""
+    )
+    return ",\n".join(parts)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CLU.kmeans_assign(_doc(spark, sf_dir, "embeddings"), dim=KM_DIM)
+
+
+def _sql_kmeans_assign() -> str:
+    return f"""
+WITH {_sql_kmeans_chain()}
+SELECT vec_id, cid::INT AS cluster, round(d2, 6) AS sq_dist
+FROM fd WHERE rn = 1
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CLU.semdedup(_doc(spark, sf_dir, "embeddings"), dim=KM_DIM)
+
+
+def _sql_semdedup() -> str:
+    return f"""
+WITH {_sql_kmeans_chain()},
+asg AS (SELECT vec_id, v, cid FROM fd WHERE rn = 1),
+p AS (SELECT b.vec_id AS vb
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v)))
+            >= {CLU.SEM_THRESHOLD!r}::DOUBLE),
+dr AS (SELECT DISTINCT vb AS vec_id FROM p)
+SELECT asg.vec_id, cid::INT AS cluster,
+       (dr.vec_id IS NOT NULL) AS dropped
+FROM asg LEFT JOIN dr USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampling + shard layout (operators/sampling.py)
 # ---------------------------------------------------------------------------
 
@@ -2813,6 +2902,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigrams": q_lm_bigrams,
     "lm_perplexity": q_lm_perplexity,
     "hashed_classifier": q_hashed_classifier,
+    "kmeans_assign": q_kmeans_assign,
+    "semdedup": q_semdedup,
     "sample_stratified": q_sample_stratified,
     "sample_balanced": q_sample_balanced,
     "shuffle_shards": q_shuffle_shards,
@@ -2887,6 +2978,8 @@ ORACLES: dict[str, str] = {
     "lm_bigrams": SQL_LM_BIGRAMS,
     "lm_perplexity": _sql_lm_perplexity(),
     "hashed_classifier": _sql_hashed_classifier(),
+    "kmeans_assign": _sql_kmeans_assign(),
+    "semdedup": _sql_semdedup(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
