@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "hashed_classifier",
     "kmeans_assign",
     "semdedup",
+    "length_quantiles",
+    "adaptive_budget",
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",

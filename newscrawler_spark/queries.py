@@ -37,6 +37,7 @@ from .operators import lmscore as LM
 from .operators import dedup as DD
 from .operators import events as EV
 from .operators import postings as PT
+from .operators import profiling as PF
 from .operators import retrieval as RET
 from .operators import sampling as SMP
 from .operators import similarity as SIM
@@ -2674,6 +2675,90 @@ FROM pd
 
 
 # ---------------------------------------------------------------------------
+# Profiling + adaptive politeness (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PF.length_quantiles(_doc(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH r AS (SELECT source AS stratum, n_chars AS v, doc_id,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS c
+           FROM documents)
+SELECT stratum, count(*)::BIGINT AS n,
+       max(CASE WHEN rn = (c * 50 + 99) // 100 THEN v END)::BIGINT AS p50,
+       max(CASE WHEN rn = (c * 90 + 99) // 100 THEN v END)::BIGINT AS p90,
+       max(CASE WHEN rn = (c * 99 + 99) // 100 THEN v END)::BIGINT AS p99
+FROM r GROUP BY stratum
+"""
+
+
+def q_adaptive_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic fetch outcomes derived per-URL from md5 (latency in
+    [50, 2050), ~15 % errors) feed the AIMD budget update against the
+    standard per-platform budget table."""
+    fr = _identity_frontier(spark, sf_dir)
+    log = fr.select(
+        "domain",
+        "url",
+        (
+            F.lit(50)
+            + F.pmod(md5_64(F.concat(F.lit("lat:"), F.col("url"))), F.lit(2000))
+        ).cast("long").alias("latency_ms"),
+        (
+            F.pmod(md5_64(F.concat(F.lit("ok:"), F.col("url"))), F.lit(100))
+            >= F.lit(15)
+        ).alias("ok"),
+    )
+    budgets, _ = _budget_tables(spark)
+    return PF.adaptive_budget(log, budgets)
+
+
+def _sql_adaptive_budget() -> str:
+    b_rows = ", ".join(
+        f"('{URL_SHAPES[p][0]}', {_capacity(i)})"
+        for i, p in enumerate(PLATFORMS)
+    )
+    lat_h = md5_64_sql("'lat:' || url")
+    ok_h = md5_64_sql("'ok:' || url")
+    lat = f"(50 + {lat_h} % 2000)"
+    ok = f"({ok_h} % 100 >= 15)"
+    return rf"""
+WITH {_frontier_cte()},
+b AS (SELECT * FROM (VALUES {b_rows}) t(domain, capacity)),
+log AS (SELECT domain, url, {lat}::BIGINT AS latency_ms, {ok} AS ok
+        FROM frontier),
+rk AS (SELECT domain, url, latency_ms, ok,
+              row_number() OVER (PARTITION BY domain
+                                 ORDER BY latency_ms, url) AS rn,
+              count(*) OVER (PARTITION BY domain) AS c
+       FROM log),
+st AS (SELECT domain, count(*)::BIGINT AS n_fetches,
+              sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_err,
+              max(CASE WHEN rn = (c * 90 + 99) // 100
+                       THEN latency_ms END)::BIGINT AS p90_latency
+       FROM rk GROUP BY domain),
+j AS (SELECT b.domain, b.capacity, st.n_fetches, st.n_err, st.p90_latency,
+             (st.n_err * 10000) // st.n_fetches AS err_bp
+      FROM b LEFT JOIN st USING (domain))
+SELECT domain,
+       coalesce(n_fetches, 0)::BIGINT AS n_fetches,
+       coalesce(err_bp, 0)::BIGINT AS err_bp,
+       coalesce(p90_latency, 0)::BIGINT AS p90_latency,
+       capacity::INT AS capacity,
+       (CASE WHEN n_fetches IS NULL THEN capacity
+             WHEN err_bp > {PF.ERR_BP_HALVE} OR p90_latency > {PF.LAT_P90_HALVE}
+               THEN greatest({PF.CAP_MIN}, capacity // 2)
+             ELSE least({PF.CAP_MAX}, capacity + 1) END)::INT AS next_capacity
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding k-means + SemDeDup (operators/clustering.py)
 # ---------------------------------------------------------------------------
 # The oracle re-runs Lloyd's iterations as an unrolled CTE chain over
@@ -2904,6 +2989,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_classifier": q_hashed_classifier,
     "kmeans_assign": q_kmeans_assign,
     "semdedup": q_semdedup,
+    "length_quantiles": q_length_quantiles,
+    "adaptive_budget": q_adaptive_budget,
     "sample_stratified": q_sample_stratified,
     "sample_balanced": q_sample_balanced,
     "shuffle_shards": q_shuffle_shards,
@@ -2980,6 +3067,8 @@ ORACLES: dict[str, str] = {
     "hashed_classifier": _sql_hashed_classifier(),
     "kmeans_assign": _sql_kmeans_assign(),
     "semdedup": _sql_semdedup(),
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "adaptive_budget": _sql_adaptive_budget(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
