@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "semdedup",
     "length_quantiles",
     "adaptive_budget",
+    "doc_embed",
+    "decontaminate_embed",
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",

@@ -91,3 +91,50 @@ def classify_docs(
             F.col("score_milli_sum") > F.lit(threshold_milli) * F.col("n_tokens")
         ).alias("label"),
     )
+
+
+def hashed_doc_embedding(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic hashed bag-of-words document embeddings — the
+    feature-hashing trick (Weinberger et al. 2009) as a dense
+    projection: component d of a document is the mean over its tokens
+    of w(token, d) = (md5_64("e:d:token") mod 2001 - 1000) / 1000.
+
+    This is the bridge from the text corpus to every vector operator
+    (ANN, k-means, SemDeDup, embedding decontamination) when no model
+    embeddings exist yet: per-component sums are exact BIGINTs
+    (engine- and partitioning-independent), and each component is one
+    IEEE division at the end.  Scale: explode → ONE map-side-combined
+    groupBy with dim+1 aggregates — a single shuffle of |docs| x
+    (dim+1) integers, no Python, no joins.
+
+    Returns (doc_id, n_tokens, embedding: array<double>).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    w_cols = [
+        (
+            F.pmod(
+                md5_64(F.concat(F.lit(f"e:{d}:"), F.col("token"))), F.lit(W_SPAN)
+            )
+            - F.lit((W_SPAN - 1) // 2)
+        ).alias(f"w{d}")
+        for d in range(dim)
+    ]
+    per_tok = toks.select("doc_id", *w_cols)
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        *[F.sum(f"w{d}").cast("long").alias(f"s{d}") for d in range(dim)],
+    )
+    emb = F.array(
+        *[
+            F.col(f"s{d}") / (F.col("n_tokens") * F.lit(1000.0))
+            for d in range(dim)
+        ]
+    )
+    return agg.select("doc_id", "n_tokens", emb.alias("embedding"))

@@ -264,3 +264,47 @@ def pii_scrub(
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(id_col, *counts, scrubbed.alias("scrubbed"))
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-level) decontamination: flag corpus items
+    whose cosine similarity to ANY eval-set embedding reaches the
+    threshold — the paraphrase-robust complement to the n-gram
+    `decontaminate` (exact-overlap probes miss reworded benchmark
+    items; embedding probes catch them).
+
+    Scale shape mirrors `decontaminate`: eval suites are KB-to-MB
+    scale, so the eval side is BROADCAST (a nested-loop against a
+    handful of rows) and the corpus is scanned once — no shuffle
+    before the per-item hit count.  Returns (vec_id, n_hits,
+    contaminated); n_hits is an exact integer so the flag is
+    engine-independent (cosines are sequential folds on both engines).
+    """
+    from .similarity import _vec, cosine
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), _vec(vec_col).alias("cv"))
+    e = evalset.select(F.col(id_col).alias("eval_id"), _vec(vec_col).alias("ev"))
+    hits = (
+        c.crossJoin(F.broadcast(e))
+        .filter(
+            (F.col("vec_id") != F.col("eval_id"))
+            & (cosine(F.col("cv"), F.col("ev")) >= F.lit(threshold))
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        c.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -2674,6 +2674,59 @@ FROM pd
 """
 
 
+DOC_EMBED_DIM = 16
+
+
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed doc embeddings, FLATTENED to (doc_id, n_tokens, d,
+    component) rows so the oracle hash-compares scalars (the operator
+    itself returns the array form)."""
+    emb = CLS.hashed_doc_embedding(
+        _doc(spark, sf_dir, "documents"), dim=DOC_EMBED_DIM
+    )
+    return emb.select(
+        "doc_id", "n_tokens",
+        F.posexplode("embedding").alias("d", "component"),
+    )
+
+
+def _sql_doc_embed() -> str:
+    half = (CLS.W_SPAN - 1) // 2
+    wh = md5_64_sql("'e:' || d::VARCHAR || ':' || token")
+    return rf"""
+WITH {_SQL_TOKENS_INDEXED},
+tb AS (SELECT doc_id, d, ({wh} % {CLS.W_SPAN} - {half})::BIGINT AS w
+       FROM (SELECT doc_id, token, unnest(range({DOC_EMBED_DIM})) AS d FROM t)),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1),
+pd AS (SELECT doc_id, d, sum(w)::BIGINT AS s FROM tb GROUP BY 1, 2)
+SELECT doc_id, n_tokens, d::INT AS d,
+       s / (n_tokens * 1000.0::DOUBLE) AS component
+FROM pd JOIN n USING (doc_id)
+"""
+
+
+def q_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _doc(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") < 8)
+    return CUR.decontaminate_embeddings(emb, evalset)
+
+
+SQL_DECONTAMINATE_EMBED = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, e AS ee FROM v WHERE vec_id < 8),
+h AS (SELECT v.vec_id, count(*)::BIGINT AS n_hits
+      FROM v, ev
+      WHERE v.vec_id <> eval_id
+        AND list_dot_product(e, ee)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ee, ee)))
+            >= 0.35::DOUBLE
+      GROUP BY v.vec_id)
+SELECT v.vec_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(n_hits, 0) > 0) AS contaminated
+FROM v LEFT JOIN h USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Profiling + adaptive politeness (operators/profiling.py)
 # ---------------------------------------------------------------------------
@@ -2991,6 +3044,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "length_quantiles": q_length_quantiles,
     "adaptive_budget": q_adaptive_budget,
+    "doc_embed": q_doc_embed,
+    "decontaminate_embed": q_decontaminate_embed,
     "sample_stratified": q_sample_stratified,
     "sample_balanced": q_sample_balanced,
     "shuffle_shards": q_shuffle_shards,
@@ -3069,6 +3124,8 @@ ORACLES: dict[str, str] = {
     "semdedup": _sql_semdedup(),
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "adaptive_budget": _sql_adaptive_budget(),
+    "doc_embed": _sql_doc_embed(),
+    "decontaminate_embed": SQL_DECONTAMINATE_EMBED,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,

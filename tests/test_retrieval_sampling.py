@@ -265,3 +265,57 @@ def test_shuffle_shards_partitions_and_positions(spark):
     # deterministic: a second build is identical
     again = SMP.shuffle_shards(docs, n_shards=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# Hashed doc embeddings + embedding decontamination
+# ---------------------------------------------------------------------------
+
+def test_doc_embed_matches_python_hash_model(spark):
+    texts = ["alpha beta", "alpha alpha gamma delta"]
+    rows = CLS.hashed_doc_embedding(_docs(spark, texts), dim=4).collect()
+
+    def w(tok, d):
+        b = md5_64_py(f"e:{d}:{tok}")
+        return b % CLS.W_SPAN - (CLS.W_SPAN - 1) // 2
+
+    for r in rows:
+        toks = texts[r.doc_id].split()
+        for d in range(4):
+            exp = sum(w(t, d) for t in toks) / (1000.0 * len(toks))
+            assert abs(r.embedding[d] - exp) < 1e-12
+        assert r.n_tokens == len(toks)
+
+
+def test_doc_embed_feeds_vector_operators(spark):
+    """The bridge property: hashed embeddings drive k-means directly."""
+    from newscrawler_spark.operators import clustering as CLU
+
+    docs = _docs(spark, ["a b c d"] * 10 + ["x y z w"] * 10)
+    emb = CLS.hashed_doc_embedding(docs, dim=8).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    got = {r.vec_id: r.cluster for r in
+           CLU.kmeans_assign(emb, dim=8, k=4, iters=2).collect()}
+    # identical texts -> identical embeddings -> identical cluster
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[i] for i in range(10, 20)}) == 1
+
+
+def test_decontaminate_embed_flags_eval_hits(spark):
+    from newscrawler_spark.operators.curation import decontaminate_embeddings
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # eval item
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near-copy of eval -> contaminated
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> clean
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel -> clean
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    evalset = emb.filter(F.col("vec_id") == 0)
+    got = {r.vec_id: (r.contaminated, r.n_hits)
+           for r in decontaminate_embeddings(emb, evalset, threshold=0.9).collect()}
+    assert got[1] == (True, 1)
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+    assert got[0] == (False, 0)  # the eval item itself is excluded
