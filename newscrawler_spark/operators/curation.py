@@ -290,21 +290,20 @@ def decontaminate_embeddings(
 
     c = corpus.select(F.col(id_col).alias("vec_id"), _vec(vec_col).alias("cv"))
     e = evalset.select(F.col(id_col).alias("eval_id"), _vec(vec_col).alias("ev"))
-    hits = (
-        c.crossJoin(F.broadcast(e))
-        .filter(
-            (F.col("vec_id") != F.col("eval_id"))
-            & (cosine(F.col("cv"), F.col("ev")) >= F.lit(threshold))
-        )
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
+    # conditional aggregate over the broadcast nested loop: every corpus
+    # row survives the groupBy, so no join-back shuffle is needed —
+    # one Exchange total (the per-item count), zero-hit rows included
+    hit = (
+        (F.col("vec_id") != F.col("eval_id"))
+        & (cosine(F.col("cv"), F.col("ev")) >= F.lit(threshold))
+    ).cast("long")
     return (
-        c.select("vec_id")
-        .join(hits, "vec_id", "left")
+        c.crossJoin(F.broadcast(e))
+        .groupBy("vec_id")
+        .agg(F.sum(hit).alias("n_hits"))
         .select(
             "vec_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
