@@ -173,6 +173,21 @@ def test_lm_repetitive_text_scores_lower_ppl(spark):
     assert rows[0] < min(rows[d] for d in range(1, 5))
 
 
+def test_lm_adjacency_collapses_whitespace_runs(spark):
+    """Pinned contract: tokenization splits on \\s+ RUNS (plus trim),
+    so consecutive whitespace yields no empty token and does NOT break
+    the bigram chain — 'a  b' contributes the same (a, b) bigram as
+    'a b', and no document-internal 'start' positions exist.  Both
+    engines' oracles assume exactly this."""
+    texts = ["a b", "a  b", "  a \t b  "]
+    rows = LM.lm_bigram_table(_docs(spark, texts)).collect()
+    got = {(r.w1, r.w2): r.c2 for r in rows}
+    assert got == {("a", "b"): 3}
+    ppl = {r.doc_id: (r.n_tokens, r.n_backoff)
+           for r in LM.lm_perplexity(_docs(spark, texts)).collect()}
+    assert ppl == {0: (2, 0), 1: (2, 0), 2: (2, 0)}
+
+
 def test_lm_bigrams_counts(spark):
     rows = LM.lm_bigram_table(_docs(spark, ["a b a b c", "b c c"])).collect()
     got = {(r.w1, r.w2): (r.c2, r.c1_w1) for r in rows}
