@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "adaptive_budget",
     "doc_embed",
     "decontaminate_embed",
+    "dup_span_fraction",
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",

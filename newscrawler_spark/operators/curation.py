@@ -307,3 +307,61 @@ def decontaminate_embeddings(
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+DUPFRAC_K = 5  # word k-gram size for the duplicate-fraction signal
+
+
+def dup_span_fraction(
+    docs: DataFrame,
+    k: int = DUPFRAC_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate n-gram fraction (the Dolma / RefinedWeb repetition
+    signal at CORPUS scope): for each document, the fraction of its
+    distinct word k-grams that also occur in at least one OTHER
+    document.  High fractions mark templated/syndicated text that
+    exact dedup misses (different ids, overlapping spans).
+
+    Mechanics: distinct (doc, shingle-hash) pairs → shingle df via one
+    map-side-combined groupBy → per-doc share with df ≥ 2.  The join
+    back is on the 64-bit hash (co-partitioned with the df aggregate's
+    own shuffle); no string shingle ever shuffles.  Returns (doc_id,
+    n_grams, n_dup, dup_frac) — dup_frac is the exact-integer division
+    n_dup / n_grams (NULL-free: docs shorter than k words report 0/0→0).
+    """
+    from ..functions.textops import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingles(F.col(text_col), k)).alias("g"),
+    ).select(
+        "doc_id",
+        F.when(F.col("g").isNotNull(), md5_64(F.col("g"))).alias("sh"),
+    ).distinct()
+    df_tbl = (
+        sh.filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    per_doc = (
+        sh.join(df_tbl, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("sh").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        F.when(F.col("n_grams") > 0, F.col("n_dup") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

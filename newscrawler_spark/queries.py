@@ -2674,6 +2674,33 @@ FROM pd
 """
 
 
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CUR.dup_span_fraction(_doc(spark, sf_dir, "documents"))
+
+
+SQL_DUP_SPAN_FRACTION = rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS i
+       FROM wl WHERE len(ws) >= 5),
+g1 AS (SELECT doc_id,
+              ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+                      || ' ' || ws[i+5] AS s
+       FROM g0),
+sh AS (SELECT DISTINCT doc_id, {md5_64_sql('s')} AS sh FROM g1),
+dfb AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY 1),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       FROM sh JOIN dfb USING (sh) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN coalesce(n_grams, 0) > 0 THEN n_dup / n_grams
+            ELSE 0.0::DOUBLE END AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 DOC_EMBED_DIM = 16
 
 
@@ -3046,6 +3073,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_budget": q_adaptive_budget,
     "doc_embed": q_doc_embed,
     "decontaminate_embed": q_decontaminate_embed,
+    "dup_span_fraction": q_dup_span_fraction,
     "sample_stratified": q_sample_stratified,
     "sample_balanced": q_sample_balanced,
     "shuffle_shards": q_shuffle_shards,
@@ -3126,6 +3154,7 @@ ORACLES: dict[str, str] = {
     "adaptive_budget": _sql_adaptive_budget(),
     "doc_embed": _sql_doc_embed(),
     "decontaminate_embed": SQL_DECONTAMINATE_EMBED,
+    "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,

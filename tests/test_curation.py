@@ -102,3 +102,44 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert out[5].scrubbed == "try <PHONE> or <PHONE> or <PHONE>"
     assert out[6].n_ip == 2
     assert out[6].scrubbed == "bogus 999.999.999.999 real <IP> edge <IP>"
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram fraction (corpus-scope repetition signal)
+# ---------------------------------------------------------------------------
+
+def test_dup_span_fraction_flags_shared_spans(spark):
+    from newscrawler_spark.operators.curation import dup_span_fraction
+
+    shared = "one two three four five six"            # 2 shared 5-grams
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma delta"),  # shares 2 of 6 grams? see below
+            (1, shared + " zeta eta theta iota"),
+            (2, "totally different words here with no overlap at all"),
+            (3, "tiny doc"),                          # < k words → 0 grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in dup_span_fraction(docs).collect()}
+    # docs 0/1: 10 words → 6 distinct 5-grams each; the 2 grams fully
+    # inside the shared prefix have df=2
+    assert got[0].n_grams == 6 and got[0].n_dup == 2
+    assert got[1].n_grams == 6 and got[1].n_dup == 2
+    assert abs(got[0].dup_frac - 2 / 6) < 1e-12
+    assert got[2].n_dup == 0 and got[2].dup_frac == 0.0
+    assert got[3].n_grams == 0 and got[3].dup_frac == 0.0
+
+
+def test_dup_span_fraction_within_doc_repeat_not_flagged(spark):
+    """Corpus scope: repetition INSIDE one document only (distinct
+    per-doc shingles, df=1) must not flag — that's repetition_stats'
+    job, not this operator's."""
+    from newscrawler_spark.operators.curation import dup_span_fraction
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e a b c d e a b c d e")],
+        "doc_id LONG, text STRING",
+    )
+    r = dup_span_fraction(docs).collect()[0]
+    assert r.n_dup == 0 and r.dup_frac == 0.0
