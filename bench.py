@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "doc_embed",
     "decontaminate_embed",
     "dup_span_fraction",
+    "media_neardup",
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",

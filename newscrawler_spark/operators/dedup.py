@@ -615,47 +615,71 @@ def simhash_pairs(
     search a larger distance, raise n_blocks accordingly (e.g.
     max_hamming=6 needs n_blocks=7 sub-blocks).
     """
+    t = simhash_table(docs, id_col, text_col)
+    return hamming_pairs(
+        t, "doc_id", "simhash", SIMHASH_BITS, max_hamming, n_blocks,
+        out_cols=("doc_a", "doc_b"),
+    )
+
+
+def hamming_pairs(
+    table: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int,
+    out_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Generic pigeonhole-blocked hamming near-dup join over any
+    integer-hash table (simhash text signatures, perceptual media
+    hashes, …): split the ``bits``-wide hash into ``n_blocks`` disjoint
+    groups — any pair within ``max_hamming`` < ``n_blocks`` agrees
+    exactly on ≥ 1 block, so candidates come from per-block equi-joins
+    (linear in matching-block pairs, never O(n²)) and are verified with
+    one bit_count.  Returns (out_a, out_b, hamming) with out_a < out_b.
+    """
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole candidate generation is only complete for "
             f"max_hamming < n_blocks (got max_hamming={max_hamming}, "
             f"n_blocks={n_blocks}); raise n_blocks"
         )
-    t = simhash_table(docs, id_col, text_col)
+    out_a, out_b = out_cols
     # partition the hash bits into n_blocks disjoint groups (width
     # ceil(bits/n_blocks); the last group may be narrower) — pigeonhole
     # holds for any disjoint full cover
-    width = -(-SIMHASH_BITS // n_blocks)
+    width = -(-bits // n_blocks)
     mask = (1 << width) - 1
+    h = F.col("__h")
+    t = table.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
+                F.shiftright(h, b * width).bitwiseAND(F.lit(mask)).alias("val"),
             )
             for b in range(n_blocks)
         ]
     )
-    blocked = t.select("doc_id", "simhash", F.explode(blocks).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    blocked = t.select("__id", "__h", F.explode(blocks).alias("bk")).select(
+        "__id", "__h", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
     )
     a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "blk", "val"
+        F.col("__id").alias(out_a), F.col("__h").alias("h_a"), "blk", "val"
     )
     b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "blk", "val"
+        F.col("__id").alias(out_b), F.col("__h").alias("h_b"), "blk", "val"
     )
     cand = (
         a.join(b, ["blk", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "h_a", "h_b")
         .distinct()
     )
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    hamming = F.bit_count(F.expr("h_a ^ h_b"))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
     )

@@ -182,3 +182,33 @@ def frame_sample_plan(
             F.sequence(F.lit(0), fake_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def phash_from_features(
+    features: DataFrame,
+    dim: int = FEATURE_DIM,
+    id_col: str = "media_id",
+    feat_col: str = "features",
+) -> DataFrame:
+    """Perceptual hash from the feature vector: bit i = (feature_i > 0)
+    — the sign-quantization step every pHash/CLIP-dedup pipeline runs
+    between the encoder and the hamming join.  Pure JVM fold over the
+    array (no Python); NULL features (undecodable media) drop out.
+
+    Returns (media_id, phash: bigint with `dim` used bits).  Production
+    uses dim=64 encoder features → a full 64-bit hash; pairs come from
+    dedup.hamming_pairs, the same pigeonhole-blocked join that backs
+    simhash_pairs.
+    """
+    from pyspark.sql import functions as F
+
+    bits = None
+    for i in range(dim):
+        bit = F.when(F.element_at(F.col(feat_col), i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bits = bit if bits is None else bits + bit
+    return (
+        features.filter(F.col(feat_col).isNotNull())
+        .select(F.col(id_col), bits.cast("long").alias("phash"))
+    )

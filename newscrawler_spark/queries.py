@@ -1735,6 +1735,42 @@ SELECT media_id, unnest(range(0, n_frames, 30))::INT AS frame_idx FROM m
 # Event windows (stream-shaped, batch form)
 # ---------------------------------------------------------------------------
 
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup end-to-end: payload bytes → mapInPandas feature
+    stage → sign-quantized perceptual hash → pigeonhole-blocked
+    hamming pairs (dedup.hamming_pairs, the simhash machinery over a
+    16-bit demo hash; production = 64-bit encoder features)."""
+    from .operators import dedup as DDm
+    from .operators.multimodal import extract_features, phash_from_features
+
+    docs = _doc(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    ph = phash_from_features(extract_features(media))
+    return DDm.hamming_pairs(
+        ph, "media_id", "phash", bits=16, max_hamming=2, n_blocks=4,
+        out_cols=("media_a", "media_b"),
+    )
+
+
+def _sql_media_neardup() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN (({md5_64_sql(f'''text || '#{i}' ''')}) % 2000001"
+        f" - 1000000) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH ph AS (SELECT doc_id::VARCHAR AS media_id, ({bits})::BIGINT AS phash
+            FROM documents WHERE len(text) > 0)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _doc(spark, sf_dir, "events")
@@ -3074,6 +3110,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_embed": q_doc_embed,
     "decontaminate_embed": q_decontaminate_embed,
     "dup_span_fraction": q_dup_span_fraction,
+    "media_neardup": q_media_neardup,
     "sample_stratified": q_sample_stratified,
     "sample_balanced": q_sample_balanced,
     "shuffle_shards": q_shuffle_shards,
@@ -3155,6 +3192,7 @@ ORACLES: dict[str, str] = {
     "doc_embed": _sql_doc_embed(),
     "decontaminate_embed": SQL_DECONTAMINATE_EMBED,
     "dup_span_fraction": SQL_DUP_SPAN_FRACTION,
+    "media_neardup": _sql_media_neardup(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_balanced": SQL_SAMPLE_BALANCED,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,

@@ -535,3 +535,30 @@ def test_header_bootstrap_covers_mid_crawl_hosts(spark, tmp_path):
         )
     assert "www.toutiao.com" in seen_hosts      # budgeted seed host
     assert "www.bbc.com" in seen_hosts          # discovered mid-crawl
+
+
+def test_phash_and_generic_hamming_pairs(spark):
+    """Media near-dup plumbing: sign-quantized phash bits come out in
+    position, and the generic pigeonhole join finds exactly the pairs
+    within the hamming budget."""
+    from newscrawler_spark.operators.dedup import hamming_pairs
+    from newscrawler_spark.operators.multimodal import phash_from_features
+
+    feats = spark.createDataFrame(
+        [
+            ("a", [1.0, -1.0, 1.0, -1.0]),   # 0b0101 = 5
+            ("b", [1.0, -1.0, 1.0, 1.0]),    # 0b1101 = 13 — hamming 1 to a
+            ("c", [-1.0, 1.0, -1.0, 1.0]),   # 0b1010 = 10 — hamming 4 to a
+            ("d", None),                      # undecodable → dropped
+        ],
+        "media_id STRING, features ARRAY<DOUBLE>",
+    )
+    ph = {r.media_id: r.phash for r in
+          phash_from_features(feats, dim=4).collect()}
+    assert ph == {"a": 5, "b": 13, "c": 10}
+    pairs = hamming_pairs(
+        phash_from_features(feats, dim=4), "media_id", "phash",
+        bits=4, max_hamming=2, n_blocks=4, out_cols=("media_a", "media_b"),
+    ).collect()
+    got = {(r.media_a, r.media_b): r.hamming for r in pairs}
+    assert got == {("a", "b"): 1}  # c is hamming 4/3 away from a/b → excluded
