@@ -136,3 +136,44 @@ def shuffle_shards(
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("int"))
     )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the shuffled-shard layout: one parquet file per
+    shard, rows in shard-position order — the exact file set a training
+    loader consumes for sequential-read shuffled epochs.
+
+    Exactly ONE shuffle (repartition on the shard id); the in-shard
+    order comes free from sortWithinPartitions.  partitionBy('shard')
+    keeps shard membership explicit in the directory layout, so a
+    loader maps shard->worker without reading footers.  The layout is a
+    pure function of the ids: re-running on the same corpus writes
+    byte-identical shard contents (resume/audit-safe).
+
+    Returns the frame that was written (one row per input row, every
+    input column preserved plus shard/pos).  The layout columns are
+    computed INLINE on the full rows (same hashes as shuffle_shards)
+    rather than joined back — no self-join, the only exchanges are the
+    position window and the writer's shard repartition.
+    """
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(md5_64(F.concat(F.lit("shard:"), sid)), F.lit(n_shards)).cast("int")
+    pos_h = md5_64(F.concat(F.lit("pos:"), sid))
+    w = Window.partitionBy("shard").orderBy(pos_h.asc(), F.col(id_col).asc())
+    out = (
+        docs.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return out

@@ -334,3 +334,42 @@ def test_decontaminate_embed_flags_eval_hits(spark):
     assert got[2] == (False, 0)
     assert got[3] == (False, 0)
     assert got[0] == (False, 0)  # the eval item itself is excluded
+
+
+def test_write_shards_layout_and_determinism(spark, tmp_path):
+    """The written shard files ARE the shuffle_shards layout: per-shard
+    parquet in position order, re-write byte-identical."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    docs = _docs(spark, [f"text {i}" for i in range(60)])
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    SMP.write_shards(docs, p1, n_shards=8)
+    SMP.write_shards(docs, p2, n_shards=8)
+
+    back = spark.read.parquet(p1)
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    # layout equals the standalone operator's
+    expect = {(r.doc_id, r.shard, r.pos)
+              for r in SMP.shuffle_shards(docs, n_shards=8).collect()}
+    got = {(r.doc_id, r.shard, r.pos)
+           for r in back.select("doc_id", "shard", "pos").collect()}
+    assert got == expect
+    # file-level determinism: same bytes per shard dir
+    import hashlib
+
+    def dir_hash(root):
+        h = hashlib.md5()
+        for dirp, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    h.update(open(os.path.join(dirp, f), "rb").read())
+        return h.hexdigest()
+
+    assert dir_hash(p1) == dir_hash(p2)
+    # every shard dir holds rows sorted by pos
+    one = spark.read.parquet(p1 + "/shard=3")
+    poss = [r.pos for r in one.select("pos").collect()]
+    assert poss == sorted(poss)
