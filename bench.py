@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sitemap_parse",
     "bpe_train",
     "host_rank",
+    "host_components",
     "rank_prioritize",
     "anchor_stats",
     "trap_detect",

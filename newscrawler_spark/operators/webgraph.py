@@ -358,3 +358,43 @@ def recrawl_schedule(visits: DataFrame) -> DataFrame:
         interval.alias("interval_hours"),
         (F.col("last_epoch") + interval * 3600).cast("long").alias("next_fetch_epoch"),
     )
+
+
+def host_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Site clusters: connected components of the host link graph —
+    the host-level grouping a crawler uses for site-wide policies
+    (shared politeness budgets across mirror/CDN hosts, per-site
+    dedup scopes, blocklist propagation).
+
+    Delegates to the observe-fused min-label propagation that backs
+    dup_clusters (operators/dedup.py) — labels are the host strings
+    themselves (min = lexicographically smallest host, a readable
+    canonical representative), the edge list is symmetrized inside the
+    propagation, and convergence costs one job per iteration with the
+    changed-count riding the checkpoint as an Observation.
+
+    Input: edges(src_host, dst_host).  Returns (host, component,
+    component_size) for EVERY host, isolated hosts as singletons.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import dup_clusters
+
+    nodes = (
+        edges.select(F.col("src_host").alias("doc_id"))
+        .unionByName(edges.select(F.col("dst_host").alias("doc_id")))
+        .distinct()
+    )
+    pairs = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.col("src_host").alias("doc_a"), F.col("dst_host").alias("doc_b")
+        )
+        .distinct()
+    )
+    out = dup_clusters(nodes, pairs, "doc_id", max_iterations)
+    return out.select(
+        F.col("doc_id").alias("host"),
+        F.col("cluster_id").alias("component"),
+        F.col("cluster_size").cast("long").alias("component_size"),
+    )

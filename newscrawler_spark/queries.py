@@ -2170,6 +2170,42 @@ FROM n JOIN {prev} USING (host)
 """
 
 
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site clusters over a group-partitioned edge subset (edges kept
+    only when both endpoints hash to the same of 4 groups — guarantees
+    a multi-component graph so the CC path is actually exercised)."""
+    e = _doc_edges(spark, sf_dir)
+
+    def grp(c: str):
+        return F.pmod(md5_64(F.concat(F.lit("grp:"), F.col(c))), F.lit(4))
+
+    return WG.host_components(e.filter(grp("src_host") == grp("dst_host")))
+
+
+def _host_components_sql() -> str:
+    gs = md5_64_sql("'grp:' || src_host")
+    gd = md5_64_sql("'grp:' || dst_host")
+    return f"""
+WITH RECURSIVE {_SQL_EDGES_CTE.strip().rstrip(',')},
+eg AS (SELECT src_host, dst_host FROM e WHERE {gs} % 4 = {gd} % 4),
+nodes AS (SELECT src_host AS host FROM eg UNION SELECT dst_host FROM eg),
+sym AS (SELECT src_host AS src, dst_host AS dst FROM eg
+        WHERE src_host <> dst_host
+        UNION
+        SELECT dst_host, src_host FROM eg WHERE src_host <> dst_host),
+reach(host, label) AS (
+    SELECT host, host FROM nodes
+    UNION
+    SELECT s.src, r.label FROM reach r JOIN sym s ON s.dst = r.host
+    WHERE r.label < s.src
+),
+lbl AS (SELECT host, min(label) AS component FROM reach GROUP BY host)
+SELECT host, component,
+       (count(*) OVER (PARTITION BY component))::BIGINT AS component_size
+FROM lbl
+"""
+
+
 def q_rank_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
     frontier = docs.select(
@@ -3087,6 +3123,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "train_split": q_train_split,
     "host_rank": q_host_rank,
+    "host_components": q_host_components,
     "rank_prioritize": q_rank_prioritize,
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
@@ -3169,6 +3206,7 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "train_split": SQL_TRAIN_SPLIT,
     "host_rank": _host_rank_sql(),
+    "host_components": _host_components_sql(),
     "rank_prioritize": _rank_prioritize_sql(),
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),

@@ -245,3 +245,24 @@ def test_recrawl_schedule_tie_order_deterministic(spark):
     for parts in (1, 5):
         row = WG.recrawl_schedule(visits.repartition(parts)).collect()[0]
         assert row["n_changes"] == 1  # a,a,b in fp order
+
+
+def test_host_components_partitions_graph(spark):
+    from newscrawler_spark.operators.webgraph import host_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a.com", "b.com"), ("b.com", "c.com"),   # component a.com
+            ("x.com", "y.com"),                        # component x.com
+            ("solo.com", "solo.com"),                  # self-loop → singleton
+        ],
+        "src_host STRING, dst_host STRING",
+    )
+    got = {r.host: (r.component, r.component_size)
+           for r in host_components(edges).collect()}
+    assert got["a.com"] == ("a.com", 3)
+    assert got["b.com"] == ("a.com", 3)
+    assert got["c.com"] == ("a.com", 3)
+    assert got["x.com"] == ("x.com", 2)
+    assert got["y.com"] == ("x.com", 2)
+    assert got["solo.com"] == ("solo.com", 1)
