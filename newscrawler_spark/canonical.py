@@ -287,3 +287,41 @@ def with_url_identity(df, url_col: str = "url"):
     df = df.withColumn("platform", platform)
     df = df.withColumn("article_id", art_id)
     return df.withColumns({"canonical_url": canonical, "domain": domain})
+
+
+def classify_url_kind(url: Column | str):
+    """Heuristic page-type features + label for frontier
+    prioritization: crawlers spend their politeness budget on ARTICLE
+    pages first and treat hub/category pages as link sources.
+
+    The signals are the classic URL-shape heuristics (long numeric ids
+    and dated paths mark articles; short digit-free paths mark hubs) —
+    all JVM regex/length expressions in a Java∩RE2 subset so the DuckDB
+    oracle reproduces them exactly.
+
+    Returns a dict of Columns: path, depth, n_digits, has_date,
+    has_query, kind ('article' | 'hub' | 'other').
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(u, r"^[a-z]+://[^/]+(/[^?#]*)", 1)
+    depth = (
+        F.when(path == "", F.lit(0))
+        .otherwise(F.size(F.split(path, "/")) - 1)
+        .cast("int")
+    )
+    n_digits = F.length(F.regexp_replace(path, "[^0-9]", "")).cast("int")
+    has_date = path.rlike("/20[0-9]{2}[/-][01]?[0-9][/-]")
+    has_query = u.contains("?")
+    kind = (
+        F.when((n_digits >= 6) | has_date, F.lit("article"))
+        .when((depth <= 1) & (n_digits == 0), F.lit("hub"))
+        .otherwise(F.lit("other"))
+    )
+    return {
+        "path": path,
+        "depth": depth,
+        "n_digits": n_digits,
+        "has_date": has_date,
+        "has_query": has_query,
+        "kind": kind,
+    }

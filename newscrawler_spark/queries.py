@@ -2170,6 +2170,45 @@ FROM n JOIN {prev} USING (host)
 """
 
 
+def q_frontier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL page-type heuristics over the synthetic frontier — the
+    article/hub/other triage a crawler runs before spending politeness
+    budget (canonical.classify_url_kind)."""
+    from .canonical import classify_url_kind
+
+    fr = doc_frontier(spark, sf_dir)
+    k = classify_url_kind("url")
+    return fr.select(
+        "rid",
+        "url",
+        k["depth"].alias("depth"),
+        k["n_digits"].alias("n_digits"),
+        k["has_date"].alias("has_date"),
+        k["has_query"].alias("has_query"),
+        k["kind"].alias("kind"),
+    )
+
+
+SQL_FRONTIER_CLASSIFY = rf"""
+WITH {_frontier_cte()},
+p AS (SELECT rid, url,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+      FROM frontier),
+f AS (SELECT rid, url, path,
+             (CASE WHEN path = '' THEN 0
+                   ELSE len(string_split(path, '/')) - 1 END)::INT AS depth,
+             length(regexp_replace(path, '[^0-9]', '', 'g'))::INT AS n_digits,
+             regexp_matches(path, '/20[0-9]{{2}}[/-][01]?[0-9][/-]') AS has_date,
+             contains(url, '?') AS has_query
+      FROM p)
+SELECT rid, url, depth, n_digits, has_date, has_query,
+       CASE WHEN n_digits >= 6 OR has_date THEN 'article'
+            WHEN depth <= 1 AND n_digits = 0 THEN 'hub'
+            ELSE 'other' END AS kind
+FROM f
+"""
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site clusters over a group-partitioned edge subset (edges kept
     only when both endpoints hash to the same of 4 groups — guarantees
@@ -3124,6 +3163,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "host_rank": q_host_rank,
     "host_components": q_host_components,
+    "frontier_classify": q_frontier_classify,
     "rank_prioritize": q_rank_prioritize,
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
@@ -3207,6 +3247,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "host_rank": _host_rank_sql(),
     "host_components": _host_components_sql(),
+    "frontier_classify": SQL_FRONTIER_CLASSIFY,
     "rank_prioritize": _rank_prioritize_sql(),
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),

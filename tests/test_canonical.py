@@ -73,3 +73,22 @@ def test_canonical_dedups_query_noise():
 
 def test_unknown_platform_fallback():
     assert canonical_url_py("https://example.com/a/b/?q=1#f") == "https://example.com/a/b"
+
+
+def test_classify_url_kind_heuristics(spark):
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.canonical import classify_url_kind
+
+    urls = [
+        ("https://www.sohu.com/a/912345678_121117", "article"),   # long numeric id
+        ("https://news.site.com/2024/03/some-story", "article"),  # dated path
+        ("https://www.bbc.com/news", "hub"),                      # shallow, no digits
+        ("https://site.com/", "hub"),
+        ("https://site.com/tech/gadgets/review-x1", "other"),     # deep, few digits
+    ]
+    df = spark.createDataFrame([(u,) for u, _k in urls], "url STRING")
+    k = classify_url_kind("url")
+    got = {r.url: r.kind for r in df.select("url", k["kind"].alias("kind")).collect()}
+    for u, expect in urls:
+        assert got[u] == expect, (u, got[u], expect)

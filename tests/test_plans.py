@@ -355,3 +355,30 @@ def test_boilerplate_broadcasts_doc_totals(spark):
     plan = _plan(strip_boilerplate(_docs_df(spark)))
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_media_neardup_hamming_join_shape(spark):
+    """The phash pair join must be block-value equi-joins (no cartesian,
+    no nested loop) with the bit_count verify after."""
+    from newscrawler_spark.operators.dedup import hamming_pairs
+
+    t = spark.createDataFrame(
+        [(str(i), i * 37 % 65536) for i in range(64)],
+        "media_id STRING, phash LONG",
+    )
+    plan = _plan(hamming_pairs(t, "media_id", "phash", 16, 2, 4,
+                               out_cols=("media_a", "media_b")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_embed_single_aggregation_no_join(spark):
+    """Hashed doc embeddings: one map-side-combined groupBy, no joins."""
+    from newscrawler_spark.operators.classify import hashed_doc_embedding
+
+    docs = spark.createDataFrame(
+        [(i, "w a b c") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    plan = _plan(hashed_doc_embedding(docs, dim=4))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
