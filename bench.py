@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "sample_balanced",
     "shuffle_shards",
+    "corpus_report",
     "events_tumbling",
     "events_sessionize",
 ]

@@ -2170,6 +2170,70 @@ FROM n JOIN {prev} USING (host)
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus observability report — the summary a pipeline
+    operator reads after each ingest: size, vocabulary, exact-dup count,
+    quality pass rate (basis points, exact integer).  Composes the
+    oracle-checked primitives; every value is an exact integer so the
+    row is engine- and partitioning-independent."""
+    docs = _doc(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    keep = CUR.quality_filter(docs).agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep")
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct(md5_64(F.col("text"))).cast("long").alias("n_distinct_texts"),
+    )
+    tok = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.countDistinct("token").cast("long").alias("vocab_size"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tok))
+        .crossJoin(F.broadcast(keep))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+            "total_tokens",
+            "vocab_size",
+            F.expr("n_keep * 10000 div n_docs").alias("quality_keep_bp"),
+        )
+    )
+
+
+def _sql_corpus_report() -> str:
+    from .operators.curation import QUALITY_RULES  # noqa: F401 — parity anchor
+
+    quality = _sql_quality_filter()
+    return rf"""
+WITH wl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+t AS (SELECT token FROM (SELECT unnest(ws) AS token FROM wl)
+      WHERE token <> ''),
+base AS (SELECT count(*)::BIGINT AS n_docs,
+                count(DISTINCT source)::BIGINT AS n_sources,
+                count(DISTINCT lang)::BIGINT AS n_langs,
+                count(DISTINCT {md5_64_sql('text')})::BIGINT AS n_distinct_texts
+         FROM documents),
+tok AS (SELECT count(*)::BIGINT AS total_tokens,
+               count(DISTINCT token)::BIGINT AS vocab_size FROM t),
+kq AS (SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+       FROM ({quality}) q)
+SELECT n_docs, n_sources, n_langs,
+       (n_docs - n_distinct_texts)::BIGINT AS n_exact_dups,
+       total_tokens, vocab_size,
+       ((n_keep * 10000) // n_docs)::BIGINT AS quality_keep_bp
+FROM base, tok, kq
+"""
+
+
 def q_frontier_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL page-type heuristics over the synthetic frontier — the
     article/hub/other triage a crawler runs before spending politeness
@@ -3164,6 +3228,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_rank": q_host_rank,
     "host_components": q_host_components,
     "frontier_classify": q_frontier_classify,
+    "corpus_report": q_corpus_report,
     "rank_prioritize": q_rank_prioritize,
     "anchor_stats": q_anchor_stats,
     "trap_detect": q_trap_detect,
@@ -3248,6 +3313,7 @@ ORACLES: dict[str, str] = {
     "host_rank": _host_rank_sql(),
     "host_components": _host_components_sql(),
     "frontier_classify": SQL_FRONTIER_CLASSIFY,
+    "corpus_report": _sql_corpus_report(),
     "rank_prioritize": _rank_prioritize_sql(),
     "anchor_stats": SQL_ANCHOR_STATS,
     "trap_detect": _trap_detect_sql(),
