@@ -1,6 +1,6 @@
 """Registry-level invariants: every query has a DuckDB-parsable oracle
 and the two dicts stay in lockstep.  Pure DuckDB — no Spark session —
-so this is the cheapest guard against SQL drift in the 70+ oracles."""
+so this is the cheapest guard against SQL drift in the full oracle set."""
 
 from __future__ import annotations
 
