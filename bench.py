@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "url_canonicalize",
     "frontier_classify",
+    "kind_prioritize",
     "seen_cuckoo",
     "politeness_schedule",
     "span_dedup",

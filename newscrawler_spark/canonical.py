@@ -325,3 +325,29 @@ def classify_url_kind(url: Column | str):
         "has_query": has_query,
         "kind": kind,
     }
+
+
+def kind_prioritize(frontier: Column | "object", url_col: str = "url",
+                    priority_col: str = "priority"):
+    """Page-type-aware frontier priority: refine each URL's existing
+    ``priority`` band with its page-type tier (article 0, other 1,
+    hub 2), the same monotone band refinement as the centrality tier
+    (operators/webgraph.py::rank_prioritize):
+
+        new_priority = old_priority * 3 + kind_tier
+
+    Article pages spend the politeness budget first WITHIN a band; hubs
+    sink to the band's tail but are never starved (band order is
+    preserved exactly).  Pure projection — classify_url_kind is JVM
+    regex/length expressions, so this costs no join and no shuffle.
+    """
+    df = frontier
+    kind = classify_url_kind(url_col)["kind"]
+    tier = (
+        F.when(kind == "article", F.lit(0))
+        .when(kind == "hub", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return df.withColumn(
+        priority_col, (F.col(priority_col) * 3 + tier).cast("int")
+    )

@@ -2273,6 +2273,37 @@ FROM f
 """
 
 
+def q_kind_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-type-aware priority refinement over the synthetic frontier
+    (canonical.kind_prioritize — the projection-only twin of
+    rank_prioritize)."""
+    from .canonical import kind_prioritize
+
+    fr = doc_frontier(spark, sf_dir).select(
+        "rid", "url", F.col("priority").cast("int").alias("priority")
+    )
+    return kind_prioritize(fr)
+
+
+SQL_KIND_PRIORITIZE = rf"""
+WITH {_frontier_cte()},
+p AS (SELECT rid, url, priority,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path
+      FROM frontier),
+f AS (SELECT rid, url, priority, path,
+             (CASE WHEN path = '' THEN 0
+                   ELSE len(string_split(path, '/')) - 1 END)::INT AS depth,
+             length(regexp_replace(path, '[^0-9]', '', 'g'))::INT AS n_digits,
+             regexp_matches(path, '/20[0-9]{{2}}[/-][01]?[0-9][/-]') AS has_date
+      FROM p)
+SELECT rid, url,
+       (priority * 3 + CASE WHEN n_digits >= 6 OR has_date THEN 0
+                            WHEN depth <= 1 AND n_digits = 0 THEN 2
+                            ELSE 1 END)::INT AS priority
+FROM f
+"""
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Site clusters over a group-partitioned edge subset (edges kept
     only when both endpoints hash to the same of 4 groups — guarantees
@@ -3228,6 +3259,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_rank": q_host_rank,
     "host_components": q_host_components,
     "frontier_classify": q_frontier_classify,
+    "kind_prioritize": q_kind_prioritize,
     "corpus_report": q_corpus_report,
     "rank_prioritize": q_rank_prioritize,
     "anchor_stats": q_anchor_stats,
@@ -3313,6 +3345,7 @@ ORACLES: dict[str, str] = {
     "host_rank": _host_rank_sql(),
     "host_components": _host_components_sql(),
     "frontier_classify": SQL_FRONTIER_CLASSIFY,
+    "kind_prioritize": SQL_KIND_PRIORITIZE,
     "corpus_report": _sql_corpus_report(),
     "rank_prioritize": _rank_prioritize_sql(),
     "anchor_stats": SQL_ANCHOR_STATS,

@@ -92,3 +92,21 @@ def test_classify_url_kind_heuristics(spark):
     got = {r.url: r.kind for r in df.select("url", k["kind"].alias("kind")).collect()}
     for u, expect in urls:
         assert got[u] == expect, (u, got[u], expect)
+
+
+def test_kind_prioritize_band_monotone(spark):
+    """Band order must be preserved exactly: any priority-0 URL still
+    schedules before any priority-1 URL regardless of kind tier."""
+    from newscrawler_spark.canonical import kind_prioritize
+
+    rows = [
+        (0, "https://www.bbc.com/news", 0),                     # hub, band 0
+        (1, "https://www.sohu.com/a/912345678_121117", 1),      # article, band 1
+        (2, "https://site.com/tech/gadgets/review", 0),         # other, band 0
+    ]
+    df = spark.createDataFrame(rows, "rid LONG, url STRING, priority INT")
+    got = {r.rid: r.priority for r in kind_prioritize(df).collect()}
+    assert got[0] == 2   # 0*3 + hub tier 2
+    assert got[2] == 1   # 0*3 + other tier 1
+    assert got[1] == 3   # 1*3 + article tier 0
+    assert max(got[0], got[2]) < got[1]  # band 0 still beats band 1
