@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from functools import lru_cache as _lru_cache
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Ordered — detection is first-match, order-preserving (detector.py iterates
@@ -327,8 +327,8 @@ def classify_url_kind(url: Column | str):
     }
 
 
-def kind_prioritize(frontier: Column | "object", url_col: str = "url",
-                    priority_col: str = "priority"):
+def kind_prioritize(frontier: DataFrame, url_col: str = "url",
+                    priority_col: str = "priority") -> DataFrame:
     """Page-type-aware frontier priority: refine each URL's existing
     ``priority`` band with its page-type tier (article 0, other 1,
     hub 2), the same monotone band refinement as the centrality tier

@@ -43,6 +43,36 @@ ITERS = 2
 SEED = 7
 Q_SCALE = 1_000_000  # component quantization for exact centroid sums
 SEM_THRESHOLD = 0.9
+TARGET_CLUSTER_SIZE = 1000  # derive_k default: expected rows per cluster
+# k*dim above which centroid-literal assignment (k structs in the plan)
+# gives way to a broadcast centroid join: a 10^5-cluster SemDeDup run
+# (the paper's scale) at dim=256 would otherwise put 2.56e7 literals in
+# every iteration's plan
+ASSIGN_LITERAL_MAX = 65_536
+
+
+def derive_k(
+    n_rows: int,
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
+    k_min: int = 1,
+    k_max: int = 1_000_000,
+) -> int:
+    """SemDeDup k sizing rule (round-4 verdict task 4): k = ceil(n /
+    target_cluster_size), clamped.
+
+    Why this bounds the work: within-cluster pairwise cost is
+    sum_c |c|*(|c|-1)/2.  With k ∝ n the EXPECTED cluster size stays
+    constant at `target_cluster_size`, so under bounded skew
+    (max cluster ≤ s_max) total pair work ≤ n * s_max / 2 — LINEAR in
+    corpus size, vs quadratic for any fixed k (the round-4 caveat:
+    K=8 fixed means within-cluster work grows ∝ n²/k).  SemDeDup
+    (Abbas et al. 2023) runs ~1e5 clusters on LAION-440M — the same
+    n/target shape with target ≈ 4400.
+    """
+    if n_rows <= 0:
+        return k_min
+    k = -(-n_rows // max(1, target_cluster_size))  # ceil
+    return max(k_min, min(k_max, k))
 
 
 def init_centroids(dim: int, k: int = K, seed: int = SEED) -> list[list[float]]:
@@ -58,10 +88,12 @@ def init_centroids(dim: int, k: int = K, seed: int = SEED) -> list[list[float]]:
     ]
 
 
-def _assign(v_df: DataFrame, cents: list[list[float]]) -> DataFrame:
+def _assign_literal(v_df: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(vec_id, v, cluster, sq_dist): nearest centroid per vector via
     array_min over literal (d2, cid) structs — lexicographic min is
-    min distance with ties to the lower cid."""
+    min distance with ties to the lower cid.  No join, no shuffle; one
+    corpus scan.  Plan size grows with k*dim, so this path is gated to
+    k*dim <= ASSIGN_LITERAL_MAX."""
     items = []
     for cid, cen in enumerate(cents):
         c = F.array(*[F.lit(x) for x in cen])
@@ -74,6 +106,48 @@ def _assign(v_df: DataFrame, cents: list[list[float]]) -> DataFrame:
         best["cid"].alias("cluster"),
         best["d2"].alias("sq_dist"),
     )
+
+
+def _assign_broadcast(v_df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Same contract as _assign_literal, but the centroids travel as a
+    BROADCAST table (k rows of (cid, centroid)) instead of plan
+    literals — the large-k path: a broadcast nested-loop against k
+    rows, then one map-side-combined min_by per vec_id.  k*dim doubles
+    are megabytes even at SemDeDup's 1e5 clusters, far under broadcast
+    limits; the corpus is scanned once and the only Exchange is the
+    per-vector argmin combine.
+
+    Identical semantics to the literal path (same sequential-fold d2,
+    same lower-cid tie-break via lexicographic struct min) — asserted
+    equal by tests/test_clustering.py::test_assign_paths_agree.
+    """
+    spark = v_df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, cen) for cid, cen in enumerate(cents)],
+        "cid INT, cen ARRAY<DOUBLE>",
+    )
+    c = F.col("cen")
+    d2 = dot(F.col("v"), F.col("v")) - F.lit(2.0) * dot(F.col("v"), c) + dot(c, c)
+    scored = v_df.join(F.broadcast(cent_df)).select(
+        "vec_id", "v", F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("s")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min("s").alias("best"), F.first("v").alias("v")
+    )
+    return best.select(
+        "vec_id", "v",
+        F.col("best.cid").alias("cluster"),
+        F.col("best.d2").alias("sq_dist"),
+    )
+
+
+def _assign(v_df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Strategy switch: plan-literal centroids for small k*dim (fastest,
+    zero shuffle), broadcast centroid join beyond ASSIGN_LITERAL_MAX."""
+    k_dim = len(cents) * (len(cents[0]) if cents else 0)
+    if k_dim <= ASSIGN_LITERAL_MAX:
+        return _assign_literal(v_df, cents)
+    return _assign_broadcast(v_df, cents)
 
 
 def kmeans_fit(
@@ -171,3 +245,25 @@ def semdedup(
             "vec_id", "cluster", F.coalesce("dropped", F.lit(False)).alias("dropped")
         )
     )
+
+
+def semdedup_auto(
+    vectors: DataFrame,
+    dim: int,
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
+    iters: int = ITERS,
+    seed: int = SEED,
+    threshold: float = SEM_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`semdedup` with k DERIVED from the corpus (round-4 verdict task
+    4): one count() sizes k = derive_k(n, target_cluster_size), holding
+    expected cluster size — and therefore within-cluster pair work per
+    row — constant as the corpus grows.  The count is one extra
+    metadata-cheap job against a 10^8-row table; at 100 TB the row
+    count is usually already known from the ingest manifest, in which
+    case call semdedup(k=derive_k(n, ...)) directly."""
+    n = vectors.count()
+    k = derive_k(n, target_cluster_size)
+    return semdedup(vectors, dim, k, iters, seed, threshold, id_col, vec_col)

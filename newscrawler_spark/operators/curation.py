@@ -272,6 +272,7 @@ def decontaminate_embeddings(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Semantic (embedding-level) decontamination: flag corpus items
     whose cosine similarity to ANY eval-set embedding reaches the
@@ -285,6 +286,12 @@ def decontaminate_embeddings(
     before the per-item hit count.  Returns (vec_id, n_hits,
     contaminated); n_hits is an exact integer so the flag is
     engine-independent (cosines are sequential folds on both engines).
+
+    ``exclude_self`` skips pairs whose ids are equal — ONLY for demos
+    that draw the eval set from the corpus itself (the registry query
+    does).  A genuinely external eval set must keep the default False:
+    if its id space happened to collide with corpus ids, the guard
+    would silently drop a true contamination hit (round-4 ADVICE fix).
     """
     from .similarity import _vec, cosine
 
@@ -293,10 +300,10 @@ def decontaminate_embeddings(
     # conditional aggregate over the broadcast nested loop: every corpus
     # row survives the groupBy, so no join-back shuffle is needed —
     # one Exchange total (the per-item count), zero-hit rows included
-    hit = (
-        (F.col("vec_id") != F.col("eval_id"))
-        & (cosine(F.col("cv"), F.col("ev")) >= F.lit(threshold))
-    ).cast("long")
+    hit = cosine(F.col("cv"), F.col("ev")) >= F.lit(threshold)
+    if exclude_self:
+        hit = (F.col("vec_id") != F.col("eval_id")) & hit
+    hit = hit.cast("long")
     return (
         c.crossJoin(F.broadcast(e))
         .groupBy("vec_id")

@@ -199,15 +199,26 @@ def phash_from_features(
     uses dim=64 encoder features → a full 64-bit hash; pairs come from
     dedup.hamming_pairs, the same pigeonhole-blocked join that backs
     simhash_pairs.
+
+    Bit assembly is shiftleft + bitwiseOR rather than summing
+    ``F.lit(1 << i)`` literals: at i=63 the literal 2**63 exceeds Java
+    long range (NumberFormatException), whereas shifting a 0/1 long
+    left by 63 lands in the sign bit safely — so the advertised dim=64
+    production path actually works (round-4 ADVICE fix).
     """
     from pyspark.sql import functions as F
 
+    if not 1 <= dim <= 64:
+        raise ValueError(f"phash dim must be in [1, 64], got {dim}")
     bits = None
     for i in range(dim):
-        bit = F.when(F.element_at(F.col(feat_col), i + 1) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
+        bit = F.shiftleft(
+            F.when(F.element_at(F.col(feat_col), i + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            i,
         )
-        bits = bit if bits is None else bits + bit
+        bits = bit if bits is None else bits.bitwiseOR(bit)
     return (
         features.filter(F.col(feat_col).isNotNull())
         .select(F.col(id_col), bits.cast("long").alias("phash"))

@@ -96,10 +96,33 @@ def _adjacent_pairs(col: str = "s") -> F.Column:
     ).otherwise(empty)
 
 
+def _select_batch(
+    ranked: list[Row], remaining: int, batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-conflicting prefix of the ranked pair list: a pair is
+    taken only if neither symbol was touched by an earlier selection
+    this round (as operand OR as a merge output), so the selected
+    replaces commute — applying them in one pass is order-independent
+    and each behaves exactly as if it were the round's single merge."""
+    out: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for r in ranked:
+        if len(out) >= min(batch_size, remaining):
+            break
+        lhs, rhs = r["lhs"], r["rhs"]
+        if lhs in used or rhs in used or lhs + rhs in used:
+            continue
+        out.append((lhs, rhs, r["pair_count"]))
+        used.update((lhs, rhs, lhs + rhs))
+    return out
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = N_MERGES,
     text_col: str = "text",
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[Row], DataFrame]:
     """Learn ``n_merges`` BPE merges; return (merge list, final word
     state).
@@ -112,10 +135,25 @@ def train_bpe(
         sentinel symbol string AFTER all merges; splitting it yields
         the word's BPE encoding.
 
-    Each iteration is one small shuffle over the word table plus a
-    1-row driver fetch for the argmax — acceptable driver coordination
-    for the classic sequential-merge algorithm (merge k+1 depends on
-    merge k by definition).
+    ``batch_size=1`` (default) is classic sequential BPE: one small
+    shuffle over the word table plus a 1-row driver fetch per merge —
+    merge k+1 depends on merge k by definition, and this path is the
+    oracle target (the DuckDB CTE unrolls it).
+
+    ``batch_size=M > 1`` is the standard batched approximation
+    (round-4 verdict task 5): each ROUND counts pairs once, collects
+    the top ~4M candidates, greedily keeps the best non-conflicting
+    subset (no shared symbols — see _select_batch; the kept replaces
+    commute, so one combined pass equals applying them sequentially),
+    and applies them all in a single projection.  Driver round-trips
+    drop from n_merges to ~n_merges/M — the difference between ~30k
+    sequential Spark jobs and a few hundred for a production vocab.
+    Ranks are assigned in selection order; ``pair_count`` is the
+    pre-round count (for conflict-skipped orderings batched merge
+    choice may diverge from classic — that is the documented trade).
+
+    ``stats`` (optional dict) receives {"rounds": r, "jobs": r} for
+    job-count accounting in tests/benchmarks.
     """
     spark = docs.sparkSession
     wc = word_counts(docs, text_col).withColumn("s", _initial_sentinel())
@@ -124,32 +162,38 @@ def train_bpe(
     wc = wc.localCheckpoint()
 
     merges: list[Row] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    rounds = 0
+    while len(merges) < n_merges:
+        # batch_size=1 keeps the exact classic limit(1) plan; batched
+        # rounds over-fetch 4M candidates so conflict skips still leave
+        # a full batch in the common case
+        top_n = 1 if batch_size == 1 else 4 * batch_size
+        ranked = (
             wc.select(F.explode(_adjacent_pairs()).alias("p"), "freq")
             .groupBy("p.lhs", "p.rhs")
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
+            .limit(top_n)
             .collect()
         )
-        if not best:
+        rounds += 1
+        batch = _select_batch(ranked, n_merges - len(merges), batch_size)
+        if not batch:
             break  # corpus fully merged — nothing left to learn
-        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
-        merges.append(
-            Row(merge_rank=rank, lhs=lhs, rhs=rhs, merged=lhs + rhs,
-                pair_count=cnt)
-        )
-        wc = wc.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f"|{lhs}||{rhs}|"),
-                F.lit(f"|{lhs}{rhs}|"),
-            ),
-        )
-        if rank % CHECKPOINT_EVERY == 0:
+        s = F.col("s")
+        for lhs, rhs, cnt in batch:
+            merges.append(
+                Row(merge_rank=len(merges) + 1, lhs=lhs, rhs=rhs,
+                    merged=lhs + rhs, pair_count=cnt)
+            )
+            s = F.replace(
+                s, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")
+            )
+        wc = wc.withColumn("s", s)
+        if rounds % CHECKPOINT_EVERY == 0:
             wc = wc.localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges, wc
 
 

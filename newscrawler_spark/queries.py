@@ -2941,7 +2941,9 @@ FROM pd JOIN n USING (doc_id)
 def q_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _doc(spark, sf_dir, "embeddings")
     evalset = emb.filter(F.col("vec_id") < 8)
-    return CUR.decontaminate_embeddings(emb, evalset)
+    # exclude_self=True ONLY because this demo draws the eval set from
+    # the corpus itself; external eval sets keep the default False
+    return CUR.decontaminate_embeddings(emb, evalset, exclude_self=True)
 
 
 SQL_DECONTAMINATE_EMBED = """

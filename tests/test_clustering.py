@@ -99,3 +99,65 @@ def test_semdedup_drops_higher_id_near_duplicates(spark):
     assert got[20] and got[21] and got[22]
     assert not got[0] and not got[1] and not got[2]
     assert len(got) == 23
+
+
+def test_derive_k_rule():
+    """k = ceil(n/target), clamped: doubling the corpus doubles k, so
+    expected cluster size — and per-row within-cluster pair work —
+    stays constant (the round-4 sizing caveat, closed)."""
+    assert CLU.derive_k(0) == 1
+    assert CLU.derive_k(999, target_cluster_size=1000) == 1
+    assert CLU.derive_k(1000, target_cluster_size=1000) == 1
+    assert CLU.derive_k(1001, target_cluster_size=1000) == 2
+    assert CLU.derive_k(10_000, target_cluster_size=1000) == 10
+    assert CLU.derive_k(20_000, target_cluster_size=1000) == 20
+    assert CLU.derive_k(10**12, target_cluster_size=1000) == 1_000_000  # k_max clamp
+    # SemDeDup-paper shape: 440M rows / ~4400 target ≈ 1e5 clusters
+    assert CLU.derive_k(440_000_000, target_cluster_size=4400) == 100_000
+
+
+def test_assign_paths_agree(spark):
+    """The broadcast-join assignment (large-k path) must be value- and
+    tie-identical to the plan-literal path."""
+    arrs = np.random.default_rng(13).normal(size=(30, 8))
+    v_df = _vecs(spark, arrs).select("vec_id", F.col("embedding").alias("v"))
+    cents = CLU.init_centroids(8, k=4, seed=3)
+    lit = sorted(
+        (r.vec_id, r.cluster, round(r.sq_dist, 9))
+        for r in CLU._assign_literal(v_df, cents).collect()
+    )
+    bc = sorted(
+        (r.vec_id, r.cluster, round(r.sq_dist, 9))
+        for r in CLU._assign_broadcast(v_df, cents).collect()
+    )
+    assert lit == bc
+
+
+def test_assign_strategy_switch(spark):
+    """k*dim beyond ASSIGN_LITERAL_MAX must route to the broadcast
+    join (literal plans at SemDeDup's 1e5 clusters are infeasible)."""
+    arrs = np.random.default_rng(17).normal(size=(6, 4))
+    v_df = _vecs(spark, arrs).select("vec_id", F.col("embedding").alias("v"))
+    small = CLU._assign(v_df, CLU.init_centroids(4, k=2, seed=3))
+    assert "Join" not in _plan(small)
+    big_k = CLU.ASSIGN_LITERAL_MAX // 4 + 1
+    big = CLU._assign(v_df, CLU.init_centroids(4, k=big_k, seed=3))
+    assert "BroadcastNestedLoopJoin" in _plan(big) or "BroadcastHashJoin" in _plan(big)
+
+
+def test_semdedup_auto_cluster_size_bounded(spark):
+    """The derived-k invariant end-to-end: growing the corpus 4x with a
+    fixed target_cluster_size must NOT grow the max cluster size
+    linearly — k scales instead.  (Loose 4x-of-target skew bound; the
+    data is well-spread gaussian noise.)"""
+    target = 25
+    for n in (100, 400):
+        arrs = np.random.default_rng(23).normal(size=(n, 8))
+        out = CLU.semdedup_auto(
+            _vecs(spark, arrs), dim=8, target_cluster_size=target, iters=2
+        )
+        sizes = [
+            r.n for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(sizes) <= CLU.derive_k(n, target)
+        assert max(sizes) <= 4 * target, f"n={n}: max cluster {max(sizes)}"

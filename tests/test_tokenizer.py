@@ -124,3 +124,48 @@ def test_word_counts_filters(spark):
           for r in BPE.word_counts(
               _docs(spark, ["ok héllo a|b ok  ok", "ok"])).collect()}
     assert wc == {"ok": 4}
+
+
+def test_batched_m1_equals_classic(spark):
+    """batched(M=1) must be bit-identical to the classic sequential
+    path — same merges, same ranks, same final word state."""
+    a_m, a_state = BPE.train_bpe(_docs(spark, TEXTS), n_merges=12, batch_size=1)
+    b_m, b_state = BPE.train_bpe(_docs(spark, TEXTS), n_merges=12, batch_size=1,
+                                 stats={})
+    # and the shared-code-path sanity: batch machinery with M=1 selects
+    # exactly the classic argmax each round
+    assert [tuple(r) for r in a_m] == [tuple(r) for r in b_m]
+    sa = sorted((r.word, r.s) for r in a_state.collect())
+    sb = sorted((r.word, r.s) for r in b_state.collect())
+    assert sa == sb
+
+
+def test_batched_job_count_reduction(spark):
+    """A 512-merge demo with M=64 must use >=10x fewer driver rounds
+    than classic's 512 (round-4 verdict task 5 'done' bar)."""
+    # synthetic corpus rich enough to sustain 512 merges: distinct words
+    # with heavy shared substructure
+    words = [f"w{i:04d}end{i % 7}" for i in range(3000)]
+    texts = [" ".join(words[i::8]) for i in range(8)]
+    stats: dict = {}
+    merges, _ = BPE.train_bpe(_docs(spark, texts), n_merges=512,
+                              batch_size=64, stats=stats)
+    assert len(merges) == 512
+    assert stats["rounds"] <= 512 // 10, f"rounds={stats['rounds']}"
+
+
+def test_batched_merges_commute_with_sequential_application(spark):
+    """Within one batched round the selected pairs share no symbols, so
+    applying the batch in one pass must equal replaying the same merges
+    sequentially through the reference merger."""
+    texts = TEXTS
+    merges, state = BPE.train_bpe(_docs(spark, texts), n_merges=10,
+                                  batch_size=4)
+    # replay this exact merge sequence through the python reference
+    ref_state = {tuple(w): f for w, f in _word_freq(texts).items()}
+    for r in merges:
+        ref_state = {_ref_merge(s, r.lhs, r.rhs): f
+                     for s, f in ref_state.items()}
+    got = {r.word: tuple(r.s.strip("|").split("||")) for r in state.collect()}
+    want = {"".join(syms): syms for syms in ref_state}  # word text -> symbols
+    assert got == {w: want[w] for w in got}

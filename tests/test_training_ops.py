@@ -562,3 +562,19 @@ def test_phash_and_generic_hamming_pairs(spark):
     ).collect()
     got = {(r.media_a, r.media_b): r.hamming for r in pairs}
     assert got == {("a", "b"): 1}  # c is hamming 4/3 away from a/b → excluded
+
+
+def test_phash_dim64_sign_bit(spark):
+    """The advertised production path dim=64 must work: bit 63 lands in
+    the long's sign bit (shiftleft assembly — a 2**63 literal would
+    overflow Java long; round-4 ADVICE repro)."""
+    from newscrawler_spark.operators.multimodal import phash_from_features
+
+    hi = [1.0] * 64                     # all bits set → -1 as signed 64-bit
+    lo = [-1.0] * 63 + [1.0]            # only bit 63 → long min value
+    feats = spark.createDataFrame(
+        [("hi", hi), ("lo", lo)], "media_id STRING, features ARRAY<DOUBLE>"
+    )
+    ph = {r.media_id: r.phash for r in
+          phash_from_features(feats, dim=64).collect()}
+    assert ph == {"hi": -1, "lo": -(1 << 63)}
