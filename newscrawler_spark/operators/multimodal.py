@@ -184,6 +184,78 @@ def frame_sample_plan(
     )
 
 
+PHASH_WIDTHS = (16, 32, 48, 64)
+
+
+def phash_bits_for(
+    n_rows: int,
+    max_hamming: int = 2,
+    target_pairs_per_row: float = 1.0,
+    widths: tuple[int, ...] = PHASH_WIDTHS,
+) -> int:
+    """Hash-width sizing rule for the hamming near-dup join (round-4
+    verdict task 3 — previously documented, now implemented).
+
+    Two RANDOM b-bit hashes collide within hamming distance h with
+    probability vol(b, h) / 2^b where vol(b, h) = sum_{j<=h} C(b, j).
+    Over n rows the expected number of FALSE near-dup pairs is
+    ~ n^2/2 * vol/2^b; holding that at or below
+    ``target_pairs_per_row`` * n (linear output, linear verify work)
+    requires 2^b / vol >= n / (2 * target): the hash must gain ~1 bit
+    per corpus doubling.  This picks the smallest standard width that
+    satisfies the bound — the 16-bit demo hash saturates at n ≈ 500
+    (hence round 4's quadratic sf1 sweep); 32 bits carries ~8M rows,
+    48 ~10^10, 64 beyond.
+
+    The widths ladder is fixed at engine-expressible sizes (<= 64 so
+    one BIGINT holds the hash on Spark and DuckDB alike; the dim=64
+    sign-bit path is tested).  Real duplicate pairs are unaffected:
+    widening the hash only removes birthday-collision noise.
+    """
+    from math import comb
+
+    vol = lambda b: sum(comb(b, j) for j in range(max_hamming + 1))  # noqa: E731
+    for b in widths:
+        if n_rows * vol(b) / 2.0**b <= 2.0 * target_pairs_per_row:
+            return b
+    return widths[-1]
+
+
+def media_neardup_sized(
+    media: DataFrame,
+    n_rows: int | None = None,
+    max_hamming: int = 2,
+    n_blocks: int = 4,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+    out_cols: tuple[str, str] = ("media_a", "media_b"),
+) -> DataFrame:
+    """End-to-end media near-dup with the hash width SIZED to the
+    corpus: decode/feature stage → sign-quantized phash at
+    ``phash_bits_for(n)`` bits → pigeonhole-blocked hamming join.
+
+    ``n_rows`` is the count of rows with decodable payloads; pass it
+    when known from the ingest manifest (the 100 TB path), else one
+    count() derives it.
+    """
+    eligible = media.filter(
+        F.col(bytes_col).isNotNull() & (F.length(bytes_col) > 0)
+    )
+    if n_rows is None:
+        n_rows = eligible.count()
+    bits = phash_bits_for(n_rows, max_hamming)
+    from .dedup import hamming_pairs
+
+    ph = phash_from_features(
+        extract_features(eligible, dim=bits, id_col=id_col, bytes_col=bytes_col),
+        dim=bits,
+    )
+    return hamming_pairs(
+        ph, "media_id", "phash", bits=bits, max_hamming=max_hamming,
+        n_blocks=n_blocks, out_cols=out_cols,
+    )
+
+
 def phash_from_features(
     features: DataFrame,
     dim: int = FEATURE_DIM,

@@ -71,6 +71,12 @@ class RoundConfig:
     # domains whose PRE-dedup URL shape this round matches the
     # explosion signature are quarantined wholesale as `trap_denied`
     trap_guard: bool = False
+    # opt-in AIMD politeness budgets (operators/profiling.py::
+    # adaptive_budget): each round's fetch outcomes update the budget
+    # table, which is persisted as a per-round `budgets` delta — crawl
+    # STATE, so a killed run resumes with the evolved capacities and
+    # reproduces the uninterrupted run bit-identically
+    adaptive_budgets: bool = False
     trap_min_urls: int = 100
 
 

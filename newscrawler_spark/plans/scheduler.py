@@ -110,8 +110,20 @@ def crawl(
         else None
     )
     # budget table rows, collected ONCE (KB-scale): lets small rounds
-    # fold budget accounting driver-side with zero Spark jobs
-    budget_rows = budgets.select("domain", "capacity", "window_s").collect()
+    # fold budget accounting driver-side with zero Spark jobs.  In
+    # adaptive mode the table is per-round STATE instead: re-read from
+    # the last committed `budgets` delta on resume and re-collected
+    # after each AIMD update.
+    budgets_round = budgets
+    if conf.adaptive_budgets and catalog.last_round >= 0:
+        import os as _os_ab
+
+        from .. import schema as _schema_ab
+
+        bpath = catalog.delta_path("budgets", catalog.last_round)
+        if _os_ab.path.isdir(bpath):
+            budgets_round = spark.read.schema(_schema_ab.BUDGETS).parquet(bpath)
+    budget_rows = budgets_round.select("domain", "capacity", "window_s").collect()
     # above this many scheduled rows the per-domain fold goes back to a
     # distributed job (driver-side DuckDB over the order partition would
     # otherwise read GBs on one node)
@@ -235,7 +247,8 @@ def crawl(
                 )
 
         result: RoundResult = _t(round_no, "plan round", lambda: run_round(
-            frontier, url_seen, sidecar, budgets, robots_round, fetcher, round_no, conf,
+            frontier, url_seen, sidecar, budgets_round, robots_round, fetcher,
+            round_no, conf,
             fetch_size_hint=(prev or {}).get("frontier_next"),
             boot_config=boot_cfg,
         ))
@@ -379,10 +392,62 @@ def crawl(
         else:
             scheduled = log_round.filter(F.col("kind") == "order").select("domain")
             _t(round_no, "write budget_state", lambda: catalog.write_delta(
-                budget_accounting(budgets, scheduled, round_no),
+                budget_accounting(budgets_round, scheduled, round_no),
                 "budget_state",
                 round_no,
             ))
+
+        if conf.adaptive_budgets:
+            # AIMD update: this round's fetch outcomes → next round's
+            # capacities, written as the round's `budgets` delta (KB —
+            # one row per domain) so the evolved table is crawl state a
+            # resume picks up.  Outcomes are a deterministic pure
+            # function of the url (md5-derived latency draw in
+            # [50, 2050), ~15 % error rate — the live-fetch path would
+            # feed measured latency/status through the same log shape),
+            # so re-running a crashed round reproduces the identical
+            # next-capacity table.
+            from ..operators.profiling import adaptive_budget
+            from ..xhash import md5_64
+
+            fetch_log = log_round.filter(F.col("kind") == "order").select(
+                "domain",
+                "url",
+                (
+                    F.lit(50)
+                    + F.pmod(
+                        md5_64(F.concat(F.lit("lat:"), F.col("url"))), F.lit(2000)
+                    )
+                ).cast("long").alias("latency_ms"),
+                (
+                    F.pmod(md5_64(F.concat(F.lit("ok:"), F.col("url"))), F.lit(100))
+                    >= F.lit(15)
+                ).alias("ok"),
+            )
+            upd = adaptive_budget(fetch_log, budgets_round)
+            nxt = (
+                upd.select("domain", F.col("next_capacity").alias("capacity"))
+                .join(
+                    budgets_round.select("domain", "window_s", "reset_ts"),
+                    "domain",
+                )
+                .select("domain", "capacity", "window_s", "reset_ts")
+            )
+            _t(round_no, "write budgets (adaptive)", lambda: catalog.write_delta(
+                nxt, "budgets", round_no
+            ))
+            # read the delta back (truncates lineage — identical to what
+            # a resume at round_no+1 would read) and re-collect the
+            # KB-scale row cache
+            budgets_round = spark.read.schema(_schema.BUDGETS).parquet(
+                catalog.delta_path("budgets", round_no)
+            )
+            budget_rows = budgets_round.select(
+                "domain", "capacity", "window_s"
+            ).collect()
+            counters["capacity_total"] = int(
+                sum(r.capacity for r in budget_rows)
+            )
 
         if n_docs is not None:
             # docs already on disk (dedup mode) — commit inline

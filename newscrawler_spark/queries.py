@@ -1738,32 +1738,45 @@ SELECT media_id, unnest(range(0, n_frames, 30))::INT AS frame_idx FROM m
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup end-to-end: payload bytes → mapInPandas feature
     stage → sign-quantized perceptual hash → pigeonhole-blocked
-    hamming pairs (dedup.hamming_pairs, the simhash machinery over a
-    16-bit demo hash; production = 64-bit encoder features)."""
-    from .operators import dedup as DDm
-    from .operators.multimodal import extract_features, phash_from_features
+    hamming pairs.  The hash width is SIZED to the corpus by
+    multimodal.phash_bits_for (round-4 task 3: the fixed 16-bit demo
+    hash made pair output quadratic once n >> 2^16; the rule gains a
+    hash bit per corpus doubling so expected collision pairs stay
+    linear).  The oracle applies the same width ladder in SQL."""
+    from .operators.multimodal import media_neardup_sized
 
     docs = _doc(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    ph = phash_from_features(extract_features(media))
-    return DDm.hamming_pairs(
-        ph, "media_id", "phash", bits=16, max_hamming=2, n_blocks=4,
-        out_cols=("media_a", "media_b"),
-    )
+    return media_neardup_sized(media)
 
 
 def _sql_media_neardup() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN (({md5_64_sql(f'''text || '#{i}' ''')}) % 2000001"
-        f" - 1000000) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(16)
+    """Scale-adaptive oracle: the same width ladder (16/32/48/64 with
+    vol(b,2) = 1+b+b(b-1)/2) chosen from count(*), the same md5-derived
+    sign bits assembled per-bit via a HUGEINT shift (bit 63 exceeds
+    BIGINT range) and wrap-cast to signed 64 to match Spark's long."""
+    hash_i = md5_64_sql("text || '#' || i::VARCHAR")
+    bit_i = (
+        f"CASE WHEN (({hash_i}) % 2000001 - 1000000) > 0"
+        " THEN (1::HUGEINT << i::INT) ELSE 0::HUGEINT END"
     )
     return f"""
-WITH ph AS (SELECT doc_id::VARCHAR AS media_id, ({bits})::BIGINT AS phash
-            FROM documents WHERE len(text) > 0)
+WITH n AS (SELECT count(*)::DOUBLE AS cnt FROM documents WHERE len(text) > 0),
+bw AS (SELECT CASE WHEN cnt * 137.0 / 65536.0 <= 2.0 THEN 16
+                   WHEN cnt * 529.0 / 4294967296.0 <= 2.0 THEN 32
+                   WHEN cnt * 1177.0 / 281474976710656.0 <= 2.0 THEN 48
+                   ELSE 64 END AS bits FROM n),
+ph AS (SELECT doc_id::VARCHAR AS media_id,
+              (CASE WHEN s >= 9223372036854775808::HUGEINT
+                    THEN s - 18446744073709551616::HUGEINT
+                    ELSE s END)::BIGINT AS phash
+       FROM (SELECT doc_id,
+                    list_sum(list_transform(range(0, (SELECT bits FROM bw)),
+                                            i -> {bit_i})) AS s
+             FROM documents WHERE len(text) > 0))
 SELECT a.media_id AS media_a, b.media_id AS media_b,
        bit_count(xor(a.phash, b.phash))::INT AS hamming
 FROM ph a JOIN ph b ON a.media_id < b.media_id

@@ -359,3 +359,46 @@ def test_robots_longest_prefix_wins(spark):
     allowed, denied = apply_robots(cand, robots)
     assert {r.seq for r in allowed.collect()} == {1, 3, 4}
     assert {r.seq for r in denied.collect()} == {2}
+
+
+def test_adaptive_budgets_are_resumable_state(spark, world, tmp_path_factory):
+    """AIMD mode (round-4 verdict task 7): budgets evolve per round from
+    fetch outcomes, are persisted as per-round `budgets` deltas, and a
+    kill/resume reproduces the uninterrupted run bit-identically —
+    including the budget-table state itself."""
+    import dataclasses
+
+    seeds, pages, budgets, robots = world
+    conf = dataclasses.replace(CONF, adaptive_budgets=True)
+
+    cat_a = Catalog(tmp_path_factory.mktemp("aimd_full"))
+    seed_frontier(cat_a, seeds)
+    tot_a = crawl(spark, cat_a, FixtureFetcher(pages), budgets, robots,
+                  max_rounds=MAX_ROUNDS, conf=conf)
+
+    # capacities actually evolved and were recorded per round
+    caps = [tot_a[r]["capacity_total"] for r in sorted(tot_a)]
+    assert len(caps) >= 2
+    assert len(set(caps)) > 1, f"capacity never changed: {caps}"
+
+    cat_b = Catalog(tmp_path_factory.mktemp("aimd_resume"))
+    seed_frontier(cat_b, seeds)
+    crawl(spark, cat_b, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=conf, stop_after_round=1)
+    assert cat_b.last_round == 1
+    crawl(spark, cat_b, FixtureFetcher(pages), budgets, robots,
+          max_rounds=MAX_ROUNDS, conf=conf)
+
+    for table, key in [
+        ("fetch_order", ["round", "domain", "rank", "canonical_url", "url"]),
+        ("url_seen", ["canonical_url", "round_seen"]),
+    ]:
+        a = cat_a.read_table(spark, table).select(*key)
+        b = cat_b.read_table(spark, table).select(*key)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), table
+    # the budget STATE deltas themselves are bit-identical
+    for r in sorted(tot_a):
+        pa, pb = cat_a.delta_path("budgets", r), cat_b.delta_path("budgets", r)
+        da = spark.read.schema(schema.BUDGETS).parquet(pa)
+        db = spark.read.schema(schema.BUDGETS).parquet(pb)
+        assert da.exceptAll(db).isEmpty() and db.exceptAll(da).isEmpty(), r
