@@ -14,11 +14,23 @@ Components:
     criterion (no real cluster in this sandbox): efficiency =
     (throughput_4N / throughput_N) / 4.
 
+Deadline awareness (round-4 verdict task 1): the driver runs this
+under a hard timeout (r4's run died at it with no parsed headline).
+Two defenses:
+  * the CURRENT cumulative result JSON is re-printed as a complete
+    line after EVERY phase — a timeout kill still leaves the last
+    completed-phase artifact parseable on stdout;
+  * BENCH_BUDGET_SEC (default 2900) is an internal soft deadline:
+    each optional phase is skipped — recorded under "skipped" — when
+    the remaining budget is under its observed-cost estimate, so the
+    run finishes inside the driver's window by construction.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_CRAWL_URLS (default 400000), BENCH_SKIP_SCALING=1 to skip the
+BENCH_BUDGET_SEC (default 2900), BENCH_CRAWL_URLS (default 400000),
+BENCH_CRAWL_REPS (default 3), BENCH_SKIP_SCALING=1 to skip the
 small-core crawl runs, BENCH_SKIP_LINEAR_PAIR=1 to skip the extra
 linear-bandwidth-region pair (cpus/16 -> cpus/4 cores),
-BENCH_SKIP_EXTRAS=1 to skip the dedup/streaming crawl probes.
+BENCH_SKIP_EXTRAS=1 to skip the dedup/streaming/AIMD crawl probes.
 """
 
 from __future__ import annotations
@@ -154,7 +166,30 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_crawl(cores: int, n_urls: int, rounds: int = 5, dedup: bool = False) -> dict:
+def _pages_fixture(spark, n_pages: int) -> str:
+    """Materialize the deterministic synthetic web ONCE per page count
+    and share it across every crawl/stream/extract measurement in the
+    bench run (it is a pure function of n_pages, identical at any core
+    count).  r4's bench re-synthesized and re-wrote the same 1.6M-page
+    fixture ~9 times — several hundred seconds of pure setup inside
+    the driver's budget."""
+    from newscrawler_spark import synth
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ncs_bench_pages_{n_pages}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth.synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_crawl(
+    cores: int,
+    n_urls: int,
+    rounds: int = 5,
+    dedup: bool = False,
+    adaptive: bool = False,
+) -> dict:
     """Fresh JVM-conf session at local[cores]; returns throughput stats.
 
     dedup=True additionally runs the per-round incremental near-dup
@@ -189,14 +224,14 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5, dedup: bool = False) -> 
         # fixture setup (untimed): materialize the synthetic web to
         # parquet so the timed section measures the engine, not the
         # fixture's HTML generation; also lets the fetch join see real
-        # size stats (shuffle join, not an 80 MB broadcast)
-        pages_path = os.path.join(root, "_pages")
-        synth.synth_pages(spark, n_urls * 4).write.mode("overwrite").parquet(pages_path)
-        pages = spark.read.parquet(pages_path)
+        # size stats (shuffle join, not an 80 MB broadcast).  Shared
+        # across all bench runs at this n (pure function of count).
+        pages = spark.read.parquet(_pages_fixture(spark, n_urls * 4))
         budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
         robots = synth.synth_robots(spark)
         conf = RoundConfig(
-            n_partitions=64, n_buckets=64, m_bits=1 << 22, dedup_docs=dedup
+            n_partitions=64, n_buckets=64, m_bits=1 << 22, dedup_docs=dedup,
+            adaptive_budgets=adaptive,
         )
         pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
         steal0, total0 = _cpu_stat()
@@ -235,6 +270,11 @@ def run_crawl(cores: int, n_urls: int, rounds: int = 5, dedup: bool = False) -> 
             out["neardup_matches_total"] = sum(
                 c.get("neardup_matches", 0) for c in totals.values()
             )
+        if adaptive:
+            out["adaptive_budgets"] = True
+            out["capacity_evolution"] = {
+                r: c.get("capacity_total") for r, c in totals.items()
+            }
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -263,11 +303,7 @@ def run_stream_crawl(cores: int, n_urls: int, rounds: int = 5) -> dict:
         synth.synth_frontier(spark, n_urls).write.mode("overwrite").parquet(
             seeds_path
         )
-        pages_path = os.path.join(root, "_pages")
-        synth.synth_pages(spark, n_urls * 4).write.mode("overwrite").parquet(
-            pages_path
-        )
-        pages = spark.read.parquet(pages_path)
+        pages = spark.read.parquet(_pages_fixture(spark, n_urls * 4))
         budgets = synth.synth_budgets(spark, capacity_default=max(1000, n_urls // 8))
         robots = synth.synth_robots(spark)
         conf = RoundConfig(n_partitions=64, n_buckets=64, m_bits=1 << 22)
@@ -317,7 +353,6 @@ def run_extract_stage(cores: int, n_pages: int) -> dict:
     identical at any core count)."""
     from pyspark.sql import functions as F
 
-    from newscrawler_spark import synth
     from newscrawler_spark.canonical import with_url_identity
     from newscrawler_spark.functions.extract import extract_udf
     from newscrawler_spark.session import get_spark
@@ -325,9 +360,9 @@ def run_extract_stage(cores: int, n_pages: int) -> dict:
     spark = get_spark(f"bench-extract-{cores}", cores=cores, shuffle_partitions=64)
     root = tempfile.mkdtemp(prefix=f"bench_extract_{cores}_")
     try:
-        path = os.path.join(root, "pages")
-        synth.synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
-        pages = spark.read.parquet(path).filter("status = 200")
+        pages = spark.read.parquet(_pages_fixture(spark, n_pages)).filter(
+            "status = 200"
+        )
         pin_cpu_budget(cores)  # pin only the timed section; setup ran full-width
 
         def once() -> tuple[int, float]:
@@ -382,6 +417,8 @@ def _worker(fn: str, cores: int, n: int) -> None:
         out = run_crawl(cores, n)
     elif fn == "crawl_dedup":
         out = run_crawl(cores, n, dedup=True)
+    elif fn == "crawl_aimd":
+        out = run_crawl(cores, n, adaptive=True)
     elif fn == "stream":
         out = run_stream_crawl(cores, n)
     else:
@@ -396,134 +433,128 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # 400k URLs ≈ 1.5M scheduled over 5 rounds: large enough that the
-    # ~10 s/round local-mode fixed cost (driver job scheduling — per
+    # ~7 s/round local-mode fixed cost (driver plan compile — per
     # ROUND, not per URL, and amortizing to nothing on a 10^10-URL
     # crawl) stops dominating the N-vs-4N comparison
     n_urls = int(os.environ.get("BENCH_CRAWL_URLS", "400000"))
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "2900"))
+    reps = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     t_start = time.time()
+    small_cores = max(2, cpus // 4)
+    lin_cores = max(1, small_cores // 4)
 
+    result: dict = {
+        "metric": "urls_scheduled_fetched_per_sec",
+        "value": None,
+        "unit": "urls/sec",
+        "queries": None,
+        "sf": sf,
+        "skipped": [],
+    }
+
+    def emit() -> None:
+        """Re-print the whole cumulative result as ONE complete JSON
+        line after each phase (atomic single write + flush): if the
+        driver's timeout kills the run mid-phase, the last completed
+        phase's artifact is still the final parseable stdout line."""
+        result["bench_wall_sec"] = round(time.time() - t_start, 2)
+        os.write(1, (json.dumps(result) + "\n").encode())
+
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
+
+    def fits(cost_est: float, phase: str) -> bool:
+        """Soft-deadline gate: skip (and record) a phase whose cost
+        estimate exceeds the remaining budget with 15% headroom."""
+        if remaining() > cost_est * 1.15:
+            return True
+        result["skipped"].append(
+            {"phase": phase, "cost_est_sec": round(cost_est, 1),
+             "remaining_sec": round(remaining(), 1)}
+        )
+        return False
+
+    def _steady(run: dict) -> float:
+        return run.get("steady_urls_per_sec") or run["urls_per_sec"]
+
+    def _median_reps(fn_name: str, cores: int, first: dict | None,
+                     cost_est: float, phase: str) -> dict:
+        """first + up to (reps-1) more fresh-JVM runs, deadline-gated;
+        headline the median by steady throughput (lower-middle for even
+        N — conservative under noise)."""
+        runs = [first] if first else []
+        while len(runs) < reps and fits(cost_est, f"{phase}_rep{len(runs)}"):
+            runs.append(_in_subprocess(fn_name, cores, n_urls))
+        ranked = sorted(runs, key=_steady)
+        med = ranked[(len(runs) - 1) // 2]
+        if len(runs) > 1:
+            med["steady_urls_per_sec_runs"] = [_steady(r) for r in runs]
+            med["headline_stat"] = f"median_of_{len(runs)}"
+        return med
+
+    # ---- phase 1: registry queries ------------------------------------
     from newscrawler_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=max(8, 2 * cpus))
-    queries = run_queries(spark, sf_dir)
+    result["queries"] = run_queries(spark, sf_dir)
     spark.stop()
+    emit()
 
+    # ---- phase 2: headline crawl (32-core, median of up to `reps`) ----
     # the full-width run is the volatile one on this VM (co-tenant
-    # memory-bandwidth bursts; steal stays ~0): run BENCH_CRAWL_REPS
-    # fresh-JVM reps and headline the MEDIAN by steady throughput (a
-    # max-of-N headline would bias upward under noise; all reps are
-    # reported so the band is visible).  Even N takes the lower middle
-    # (conservative).  The pinned small-core run is empirically stable
-    # across days — one run.
-    reps = int(os.environ.get("BENCH_CRAWL_REPS", "3"))
-    runs = [_in_subprocess("crawl", cpus, n_urls) for _ in range(reps)]
-    ranked = sorted(runs, key=lambda r: r["steady_urls_per_sec"] or r["urls_per_sec"])
-    crawl_big = ranked[(reps - 1) // 2]
-    if reps > 1:
-        crawl_big["steady_urls_per_sec_runs"] = [
-            r["steady_urls_per_sec"] for r in runs
-        ]
-        crawl_big["headline_stat"] = f"median_of_{reps}"
-    result = {
-        "metric": "urls_scheduled_fetched_per_sec",
-        "value": crawl_big["urls_per_sec"],
-        "unit": "urls/sec",
-        "bench_wall_sec": round(time.time() - t_start, 2),
-        "queries": queries,
-        "sf": sf,
-        "crawl": crawl_big,
-    }
-    if not os.environ.get("BENCH_SKIP_EXTRAS"):
-        # best-effort extras (each in its own JVM, never lose the JSON
-        # line): the per-ingest incremental-dedup cost and the §2.9
-        # streaming-mode crawl, both at the same input as the headline
-        # crawl so the deltas are attributable
-        try:
-            dd = _in_subprocess("crawl_dedup", cpus, n_urls)
-            base_steady = crawl_big.get("steady_urls_per_sec") or crawl_big["urls_per_sec"]
-            dd_steady = dd.get("steady_urls_per_sec") or dd["urls_per_sec"]
-            dd["steady_vs_plain_crawl"] = round(dd_steady / base_steady, 3)
-            result["crawl_dedup"] = dd
-        except Exception as exc:  # noqa: BLE001
-            result["crawl_dedup_error"] = f"{type(exc).__name__}: {exc}"
-        try:
-            st = _in_subprocess("stream", cpus, n_urls)
-            base_steady = crawl_big.get("steady_urls_per_sec") or crawl_big["urls_per_sec"]
-            st_steady = st.get("steady_urls_per_sec") or st["urls_per_sec"]
-            st["steady_vs_plain_crawl"] = round(st_steady / base_steady, 3)
-            result["crawl_streaming"] = st
-        except Exception as exc:  # noqa: BLE001
-            result["crawl_streaming_error"] = f"{type(exc).__name__}: {exc}"
+    # memory-bandwidth bursts; steal stays ~0); all reps are reported so
+    # the band is visible.  The FIRST rep also builds the shared pages
+    # fixture, so its wall is the cost ceiling for later crawl phases.
+    t0 = time.time()
+    first_big = _in_subprocess("crawl", cpus, n_urls)
+    big_cost = time.time() - t0  # includes one-time fixture build
+    crawl_big = _median_reps("crawl", cpus, first_big, big_cost * 0.8,
+                             "crawl_big")
+    result["crawl"] = crawl_big
+    result["value"] = crawl_big["urls_per_sec"]
+    emit()
+
     if not os.environ.get("BENCH_SKIP_SCALING"):
-        # scaling evidence is best-effort extra: never lose the JSON line
-        # to a failure in the second half of the run
+        # ---- phase 3: N-vs-4N crawl scaling (the north-rule metric) ---
+        # small-core side gets the same median-of-N treatment: r3's
+        # driver window recorded a single anomalous 8-core reading at
+        # 2x its historical band, poisoning the efficiency ratio
         try:
-            small_cores = max(2, cpus // 4)
-            n_extract = int(
-                os.environ.get(
-                    "BENCH_EXTRACT_PAGES", str(min(n_urls * 10, 1_500_000))
+            small_est = big_cost * 1.6  # ~8-core wall at 400k, measured band
+            if fits(small_est, "crawl_small"):
+                t0 = time.time()
+                first_small = _in_subprocess("crawl", small_cores, n_urls)
+                small_cost = time.time() - t0
+                crawl_small = _median_reps(
+                    "crawl", small_cores, first_small, small_cost,
+                    "crawl_small"
                 )
-            )
-            ex_big = _in_subprocess("extract", cpus, n_extract)
-            ex_small = _in_subprocess("extract", small_cores, n_extract)
-            result["extract_stage_scaling"] = {
-                "n_cores": small_cores,
-                "n4_cores": cpus,
-                "pages_per_sec_n": ex_small["pages_per_sec"],
-                "pages_per_sec_n4": ex_big["pages_per_sec"],
-                "efficiency": round(
-                    (ex_big["pages_per_sec"] / ex_small["pages_per_sec"])
-                    / (cpus / small_cores),
-                    3,
-                ),
-            }
-            # small-core side gets the same median-of-N treatment: r3's
-            # driver window recorded a single anomalous 8-core reading at
-            # 2x its historical band, poisoning the efficiency ratio
-            small_runs = [
-                _in_subprocess("crawl", small_cores, n_urls) for _ in range(reps)
-            ]
-            small_ranked = sorted(
-                small_runs,
-                key=lambda r: r["steady_urls_per_sec"] or r["urls_per_sec"],
-            )
-            crawl_small = small_ranked[(reps - 1) // 2]
-            if reps > 1:
-                crawl_small["steady_urls_per_sec_runs"] = [
-                    r["steady_urls_per_sec"] for r in small_runs
-                ]
-                crawl_small["headline_stat"] = f"median_of_{reps}"
-            thr_n, thr_n4 = (
-                crawl_small["steady_urls_per_sec"] or crawl_small["urls_per_sec"],
-                crawl_big["steady_urls_per_sec"] or crawl_big["urls_per_sec"],
-            )
-            eff = (thr_n4 / thr_n) / (cpus / small_cores)
-            result["scaling"] = {
-                "n_cores": small_cores,
-                "n4_cores": cpus,
-                "steady_urls_per_sec_n": thr_n,
-                "steady_urls_per_sec_n4": thr_n4,
-                "efficiency": round(eff, 3),
-            }
-            result["crawl_small"] = crawl_small
-            # linear-region N->4N pair: on this single-socket box pure
-            # memcpy itself stops scaling between 8 and 32 threads (see
-            # membw probe below), so the 8->32 ratio measures the
-            # socket, not the engine.  The 2->8 pair sits entirely in
-            # the hardware's linear-bandwidth region (memcpy 2->8
-            # ~0.98) and models a multi-executor cluster where each
-            # worker brings its own memory channels.  One rep — the
-            # pinned small-core runs are empirically stable.
-            if not os.environ.get("BENCH_SKIP_LINEAR_PAIR"):
-                lin_cores = max(1, small_cores // 4)
-                if lin_cores < small_cores:
+                thr_n, thr_n4 = _steady(crawl_small), _steady(crawl_big)
+                result["scaling"] = {
+                    "n_cores": small_cores,
+                    "n4_cores": cpus,
+                    "steady_urls_per_sec_n": thr_n,
+                    "steady_urls_per_sec_n4": thr_n4,
+                    "efficiency": round((thr_n4 / thr_n) / (cpus / small_cores), 3),
+                }
+                result["crawl_small"] = crawl_small
+                emit()
+                # linear-region N->4N pair: on this single-socket box
+                # pure memcpy stops scaling between 8 and 32 threads
+                # (membw probe), so the 8->32 ratio measures the socket,
+                # not the engine.  The 2->8 pair sits entirely in the
+                # hardware's linear-bandwidth region (memcpy 2->8 ~1.0)
+                # and models a multi-executor cluster where each worker
+                # brings its own memory channels.
+                if (
+                    not os.environ.get("BENCH_SKIP_LINEAR_PAIR")
+                    and lin_cores < small_cores
+                    and fits(small_cost * 3.5, "crawl_linear")
+                ):
                     crawl_lin = _in_subprocess("crawl", lin_cores, n_urls)
-                    thr_lin = (
-                        crawl_lin["steady_urls_per_sec"]
-                        or crawl_lin["urls_per_sec"]
-                    )
+                    thr_lin = _steady(crawl_lin)
                     result["scaling_linear_region"] = {
                         "n_cores": lin_cores,
                         "n4_cores": small_cores,
@@ -537,46 +568,98 @@ def main() -> None:
                         " models per-worker-memory cluster scaling",
                     }
                     result["crawl_linear"] = crawl_lin
+                    emit()
         except Exception as exc:  # noqa: BLE001
             result["scaling_error"] = f"{type(exc).__name__}: {exc}"
-        # hardware context for the ratio above: aggregate memcpy GB/s at
-        # the same pinned core counts (scripts/membw_probe.py).  On this
-        # single-socket box pure copy itself stops scaling well before
-        # 32 threads, so the crawl's N->4N efficiency is also reported
-        # normalized to the memcpy ceiling for the same pair — the
-        # engine-attributable share of the scaling loss.  Best-effort
-        # and cheap (~1 min); never loses the JSON line.
-        try:
-            import subprocess
 
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "scripts", "membw_probe.py"),
-                    str(max(1, small_cores // 4)), str(small_cores), str(cpus),
-                ],
-                capture_output=True, text=True, timeout=600,
-            )
-            bw = json.loads(proc.stdout.strip().splitlines()[-1])
-            result["membw_probe"] = bw
-            pair = f"{small_cores}->{cpus}"
-            hw_eff = bw.get("copy_scaling_efficiency", {}).get(pair)
-            if hw_eff and "scaling" in result:
-                result["scaling"]["memcpy_efficiency_same_pair"] = hw_eff
-                result["scaling"]["bandwidth_normalized_efficiency"] = round(
-                    result["scaling"]["efficiency"] / hw_eff, 3
+        # ---- phase 4: memcpy bandwidth context (cheap, ~1 min) --------
+        # hardware context for the ratios above: aggregate memcpy GB/s
+        # at the same pinned core counts; the crawl's N->4N efficiency
+        # is also reported normalized to the memcpy ceiling for the
+        # same pair — the engine-attributable share of the scaling loss.
+        if fits(90, "membw_probe"):
+            try:
+                import subprocess
+
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "scripts", "membw_probe.py"),
+                        str(lin_cores), str(small_cores), str(cpus),
+                    ],
+                    capture_output=True, text=True, timeout=600,
                 )
-            lin_pair = f"{max(1, small_cores // 4)}->{small_cores}"
-            lin_hw = bw.get("copy_scaling_efficiency", {}).get(lin_pair)
-            if lin_hw and "scaling_linear_region" in result:
-                result["scaling_linear_region"][
-                    "memcpy_efficiency_same_pair"
-                ] = lin_hw
+                bw = json.loads(proc.stdout.strip().splitlines()[-1])
+                result["membw_probe"] = bw
+                hw_eff = bw.get("copy_scaling_efficiency", {}).get(
+                    f"{small_cores}->{cpus}"
+                )
+                if hw_eff and "scaling" in result:
+                    result["scaling"]["memcpy_efficiency_same_pair"] = hw_eff
+                    result["scaling"]["bandwidth_normalized_efficiency"] = round(
+                        result["scaling"]["efficiency"] / hw_eff, 3
+                    )
+                lin_hw = bw.get("copy_scaling_efficiency", {}).get(
+                    f"{lin_cores}->{small_cores}"
+                )
+                if lin_hw and "scaling_linear_region" in result:
+                    result["scaling_linear_region"][
+                        "memcpy_efficiency_same_pair"
+                    ] = lin_hw
+            except Exception as exc:  # noqa: BLE001
+                result["membw_probe_error"] = f"{type(exc).__name__}: {exc}"
+            emit()
+
+        # ---- phase 5: extract-stage scaling (compute-bound core) ------
+        try:
+            n_extract = int(
+                os.environ.get(
+                    "BENCH_EXTRACT_PAGES", str(min(n_urls * 10, 1_500_000))
+                )
+            )
+            if fits(big_cost * 2.0, "extract_scaling"):
+                ex_big = _in_subprocess("extract", cpus, n_extract)
+                ex_small = _in_subprocess("extract", small_cores, n_extract)
+                result["extract_stage_scaling"] = {
+                    "n_cores": small_cores,
+                    "n4_cores": cpus,
+                    "pages_per_sec_n": ex_small["pages_per_sec"],
+                    "pages_per_sec_n4": ex_big["pages_per_sec"],
+                    "efficiency": round(
+                        (ex_big["pages_per_sec"] / ex_small["pages_per_sec"])
+                        / (cpus / small_cores),
+                        3,
+                    ),
+                }
+                emit()
         except Exception as exc:  # noqa: BLE001
-            result["membw_probe_error"] = f"{type(exc).__name__}: {exc}"
-    result["bench_wall_sec"] = round(time.time() - t_start, 2)
-    print(json.dumps(result))
+            result["extract_scaling_error"] = f"{type(exc).__name__}: {exc}"
+
+    if not os.environ.get("BENCH_SKIP_EXTRAS"):
+        # ---- phases 6-8: crawl-variant probes (each own JVM) ----------
+        # per-ingest incremental-dedup cost, §2.9 streaming-mode crawl,
+        # and the AIMD adaptive-budget crawl — all at the same input as
+        # the headline crawl so the deltas are attributable
+        base_steady = _steady(crawl_big)
+        for fn_name, key, est_mult in (
+            ("crawl_aimd", "crawl_adaptive_budgets", 1.2),
+            ("crawl_dedup", "crawl_dedup", 2.2),
+            ("stream", "crawl_streaming", 2.0),
+        ):
+            if not fits(big_cost * est_mult, key):
+                continue
+            try:
+                run = _in_subprocess(fn_name, cpus, n_urls)
+                run["steady_vs_plain_crawl"] = round(
+                    _steady(run) / base_steady, 3
+                )
+                result[key] = run
+            except Exception as exc:  # noqa: BLE001
+                result[f"{key}_error"] = f"{type(exc).__name__}: {exc}"
+            emit()
+
+    emit()
 
 
 if __name__ == "__main__":

@@ -2620,19 +2620,36 @@ FROM est JOIN ex USING (source)
 # BPE oracles; see operators/tokenizer.py for the sentinel scheme.
 
 
+# the three BPE queries share one training run (deterministic pure
+# function of the corpus): train once per (session, sf_dir) and reuse
+# the localCheckpointed word state — a verification harness runs all
+# three back-to-back, and re-learning the identical merges costs ~17
+# sequential jobs each time.  Keyed by applicationId so a new session
+# (stopped JVM, invalid checkpoint blocks) retrains.
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE.clear()  # never hold checkpoints of a dead session
+        _BPE_CACHE[key] = BPE.train_bpe(_doc(spark, sf_dir, "documents"))
+    return _BPE_CACHE[key]
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _ = BPE.train_bpe(_doc(spark, sf_dir, "documents"))
+    merges, _ = _bpe_trained(spark, sf_dir)
     return BPE.merges_df(spark, merges)
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, state = BPE.train_bpe(_doc(spark, sf_dir, "documents"))
+    _, state = _bpe_trained(spark, sf_dir)
     return BPE.bpe_vocab(state)
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc(spark, sf_dir, "documents")
-    _, state = BPE.train_bpe(docs)
+    _, state = _bpe_trained(spark, sf_dir)
     return BPE.encode_docs(docs, state)
 
 

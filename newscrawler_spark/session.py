@@ -149,7 +149,21 @@ def tune(spark: SparkSession) -> SparkSession:
     plan became 3.2 MB and one 500-row anti-join took 100+ s of janino
     compile time.  Off: 14 KB plan, 3.6 s.  No result change (it only
     prunes an optional inference rule).
+
+    shuffle.partitions/AQE: an untuned external session keeps Spark's
+    200 default — at verification scale that is 200 near-empty tasks
+    per Exchange (and 200 state-store instances per stateful streaming
+    query).  2x total cores + AQE coalesce is the engine's sizing; both
+    confs are runtime-mutable, and on a real cluster the same call
+    sizes them to executor count.  None of these change results.
     """
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, 2 * cores)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.files.minPartitionNum", str(2 * cores))
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
