@@ -333,7 +333,17 @@ def test_decontaminate_embed_flags_eval_hits(spark):
     assert got[1] == (True, 1)
     assert got[2] == (False, 0)
     assert got[3] == (False, 0)
-    assert got[0] == (False, 0)  # the eval item itself is excluded
+    # default: NO self-exclusion — an external eval set whose ids
+    # happen to collide with corpus ids must still flag true hits
+    # (round-4 ADVICE); id 0 matches the eval row that IS itself
+    assert got[0] == (True, 1)
+    # demo mode: the eval set was drawn from the corpus, so the demo
+    # opts in to self-exclusion
+    got_x = {r.vec_id: (r.contaminated, r.n_hits)
+             for r in decontaminate_embeddings(
+                 emb, evalset, threshold=0.9, exclude_self=True).collect()}
+    assert got_x[0] == (False, 0)
+    assert got_x[1] == (True, 1)
 
 
 def test_write_shards_layout_and_determinism(spark, tmp_path):
