@@ -495,12 +495,15 @@ def main() -> None:
         return med
 
     # ---- phase 1: registry queries ------------------------------------
-    from newscrawler_spark.session import get_spark
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        from newscrawler_spark.session import get_spark
 
-    spark = get_spark("bench-queries", cores=cpus, shuffle_partitions=max(8, 2 * cpus))
-    result["queries"] = run_queries(spark, sf_dir)
-    spark.stop()
-    emit()
+        spark = get_spark(
+            "bench-queries", cores=cpus, shuffle_partitions=max(8, 2 * cpus)
+        )
+        result["queries"] = run_queries(spark, sf_dir)
+        spark.stop()
+        emit()
 
     # ---- phase 2: headline crawl (32-core, median of up to `reps`) ----
     # the full-width run is the volatile one on this VM (co-tenant
@@ -548,12 +551,30 @@ def main() -> None:
                 # hardware's linear-bandwidth region (memcpy 2->8 ~1.0)
                 # and models a multi-executor cluster where each worker
                 # brings its own memory channels.
+                # 2-core wall ≈ 2.3x the 8-core wall at 400k (fixture
+                # already cached); BENCH_LINEAR_REPS > 1 medians the
+                # 2-core side like the other pairs
+                lin_reps = int(os.environ.get("BENCH_LINEAR_REPS", "1"))
                 if (
                     not os.environ.get("BENCH_SKIP_LINEAR_PAIR")
                     and lin_cores < small_cores
-                    and fits(small_cost * 3.5, "crawl_linear")
+                    and fits(small_cost * 2.3, "crawl_linear")
                 ):
-                    crawl_lin = _in_subprocess("crawl", lin_cores, n_urls)
+                    lin_runs = [_in_subprocess("crawl", lin_cores, n_urls)]
+                    while len(lin_runs) < lin_reps and fits(
+                        small_cost * 2.3, f"crawl_linear_rep{len(lin_runs)}"
+                    ):
+                        lin_runs.append(
+                            _in_subprocess("crawl", lin_cores, n_urls)
+                        )
+                    crawl_lin = sorted(lin_runs, key=_steady)[
+                        (len(lin_runs) - 1) // 2
+                    ]
+                    if len(lin_runs) > 1:
+                        crawl_lin["steady_urls_per_sec_runs"] = [
+                            _steady(r) for r in lin_runs
+                        ]
+                        crawl_lin["headline_stat"] = f"median_of_{len(lin_runs)}"
                     thr_lin = _steady(crawl_lin)
                     result["scaling_linear_region"] = {
                         "n_cores": lin_cores,
