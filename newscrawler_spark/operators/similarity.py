@@ -228,6 +228,32 @@ def _centroid_rank_structs(
     return F.array(*items)
 
 
+def ivf_cells_for(n_rows: int, n_probe: int = 4,
+                  c_min: int = 4, c_max: int = 1 << 20) -> int:
+    """IVF cell-count sizing rule — same scale family as
+    clustering.derive_k: per-query candidate work is
+    ~ n·n_probe/n_cells and the query-side probe fan-out is
+    n_probe-bounded, so n_cells = sqrt(n·n_probe) balances the two
+    (the FAISS rule of thumb n_cells ≈ sqrt(n), scaled by probes) —
+    candidate lists stay O(sqrt(n·n_probe)) per query instead of O(n)
+    at a fixed cell count.  Rounded to the next power of two for stable
+    cross-run partitioning; clamped.  At 10^9 vectors / n_probe=4 this
+    gives 65,536 cells of ~15 k vectors each.
+
+    NOTE for the literal-centroid quantizer here: beyond ~64k
+    cells·dim the centroid table should move from plan literals to a
+    broadcast join exactly as clustering._assign_broadcast does — the
+    rule reports the target size regardless.
+    """
+    if n_rows <= 0:
+        return c_min
+    target = (n_rows * max(1, n_probe)) ** 0.5
+    cells = 1
+    while cells < target:
+        cells <<= 1
+    return max(c_min, min(c_max, cells))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -578,3 +578,20 @@ def test_phash_dim64_sign_bit(spark):
     ph = {r.media_id: r.phash for r in
           phash_from_features(feats, dim=64).collect()}
     assert ph == {"hi": -1, "lo": -(1 << 63)}
+
+
+def test_ivf_cells_sizing_rule():
+    """n_cells ~ sqrt(n * n_probe), power-of-two, clamped: per-query
+    candidate work stays O(sqrt(n)) instead of O(n) at a fixed cell
+    count (round-5 scale-parameter family, with clustering.derive_k)."""
+    from newscrawler_spark.operators import similarity as SIM
+
+    assert SIM.ivf_cells_for(0) == 4
+    assert SIM.ivf_cells_for(100, n_probe=1) == 16       # sqrt(100)=10 -> 16
+    assert SIM.ivf_cells_for(10**6, n_probe=4) == 2048   # sqrt(4e6)=2000
+    assert SIM.ivf_cells_for(10**9, n_probe=4) == 65536
+    assert SIM.ivf_cells_for(10**12, n_probe=4) == 1 << 20  # c_max clamp
+    # candidate-work bound: n / cells <= sqrt(n*probe) for the chosen cells
+    for n in (10**4, 10**6, 10**9):
+        cells = SIM.ivf_cells_for(n)
+        assert n / cells <= (n * 4) ** 0.5
