@@ -49,7 +49,10 @@ BENCH_QUERIES = [
     "frontier_classify",
     "kind_prioritize",
     "seen_cuckoo",
+    "seen_antijoin",
+    "frontier_dedup",
     "politeness_schedule",
+    "politeness_deferred",
     "span_dedup",
     "markdown_render",
     "media_manifest",
@@ -98,6 +101,29 @@ BENCH_QUERIES = [
     "corpus_report",
     "events_tumbling",
     "events_sessionize",
+    "span_projections",
+    "dup_clusters",
+    "simhash_pairs",
+    "token_stats_by_source",
+    "vocab_topk",
+    "curate_pipeline",
+    "robots_rules",
+    "sitemap_discover",
+    "ann_ivf_topk",
+    "multimodal_resize",
+    "multimodal_frames",
+    "domain_mix",
+    "train_split",
+    "inverted_index",
+    "boilerplate_strip",
+    "cms_counts",
+    "hll_distinct",
+    "bpe_vocab",
+    "bpe_encode",
+    "lm_bigrams",
+    "search_sweep",
+    "stream_metrics",
+    "stream_sessionize",
 ]
 
 
